@@ -1,0 +1,77 @@
+"""Tile binning: per-tile depth-ordered Gaussian lists via one global sort.
+
+TPU-native replacement for the CUDA rasterizer's duplicate-with-keys + radix
+sort stage (SURVEY §2.9). Instead of a dynamic number of (tile, depth) key
+instances, each Gaussian emits a *fixed* budget of tile instances
+(``max_tiles_per_gaussian``); a single lexicographic XLA sort over
+(tile_id, depth) yields contiguous per-tile segments, from which each tile
+takes up to ``tile_capacity`` front-most entries.
+
+Both caps are explicit and *reported* (`overflow_tiles`, `overflow_capacity`)
+— no silent truncation. Shapes are static: the instance table is
+[N · max_tiles_per_gaussian] and the output [num_tiles, tile_capacity].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .preprocess import Processed
+
+
+class TileBins(NamedTuple):
+    gauss_idx: jnp.ndarray   # [T, K] int32 indices into the Gaussian arrays
+    valid: jnp.ndarray       # [T, K] bool
+    counts: jnp.ndarray      # [T] int32 total intersections per tile (pre-cap)
+    overflow_tiles: jnp.ndarray     # int32: Σ tiles dropped by the per-Gaussian budget
+    overflow_capacity: jnp.ndarray  # int32: Σ entries dropped by tile_capacity
+
+
+def bin_gaussians(processed: Processed, tiles_x: int, tiles_y: int,
+                  max_tiles_per_gaussian: int, tile_capacity: int) -> TileBins:
+    n = processed.xy.shape[0]
+    d = max_tiles_per_gaussian
+    num_tiles = tiles_x * tiles_y
+
+    rect_min, rect_max = processed.rect_min, processed.rect_max
+    span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
+    span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
+    area = jnp.where(processed.mask, span_x * span_y, 0)
+
+    # Enumerate up to d tile instances per Gaussian in row-major rect order.
+    j = jnp.arange(d, dtype=jnp.int32)                      # [d]
+    span_x_safe = jnp.maximum(span_x, 1)
+    ty = rect_min[:, 1, None] + j[None, :] // span_x_safe[:, None]
+    tx = rect_min[:, 0, None] + j[None, :] % span_x_safe[:, None]
+    inst_valid = j[None, :] < jnp.minimum(area, d)[:, None]  # [n, d]
+    tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+
+    overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
+
+    depth_key = jnp.broadcast_to(processed.depth[:, None], (n, d))
+    gauss_id = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, d))
+
+    tile_sorted, _, idx_sorted = jax.lax.sort(
+        (tile_id.reshape(-1), depth_key.reshape(-1), gauss_id.reshape(-1)),
+        num_keys=2, is_stable=True)
+
+    # Per-tile segment boundaries in the sorted instance table.
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    k = jnp.arange(tile_capacity, dtype=jnp.int32)
+    take = starts[:, None] + k[None, :]                      # [T, K]
+    valid = k[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
+    gauss_idx = jnp.where(valid, idx_sorted[jnp.clip(take, 0, n * d - 1)], 0)
+
+    overflow_capacity = jnp.maximum(counts - tile_capacity, 0).sum().astype(jnp.int32)
+
+    return TileBins(gauss_idx=gauss_idx, valid=valid, counts=counts,
+                    overflow_tiles=overflow_tiles,
+                    overflow_capacity=overflow_capacity)

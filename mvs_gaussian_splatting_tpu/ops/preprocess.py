@@ -1,0 +1,181 @@
+"""Per-Gaussian preprocessing: projection, EWA 2D covariance, radii, SH color.
+
+TPU-native replacement for the preprocess stage of the CUDA rasterizer
+(submodules/diff-gaussian-rasterization, consumed at
+gaussian_renderer/__init__.py:42-55, 257-265). Fully vectorized over N on the
+VPU — no kernel needed; XLA fuses this chain well. Semantics mirror the CUDA
+forward exactly:
+
+- frustum cull at camera-space z <= 0.2
+- perspective divide with +1e-7 on w
+- Σ2D = J W Σ3D Wᵀ Jᵀ (+0.3·I low-pass), J evaluated at the clamped view ray
+  (|x/z| <= 1.3·tan_fovx etc.)
+- conic = inverse covariance as (a, b, c) with quad form a·dx² + 2b·dx·dy·0.5…
+  i.e. power = −½(a·dx² + c·dy²) − b·dx·dy
+- radius = ceil(3·sqrt(max eigenvalue)), with the sqrt argument floored at 0.1
+- pixel center convention: ndc2pix(v, S) = ((v+1)·S − 1)/2
+- SH→RGB with +0.5 offset clamped at 0
+- radii forced to 0 when the 16×16 tile footprint is empty
+
+``ndc_offset`` is the JAX-native replacement for the reference's
+``screenspace_points`` dummy tensor (gaussian_renderer/__init__.py:32-36): a
+zeros [N, 2] array added to the projected NDC xy; its gradient equals the
+CUDA dL/dmean2D that densification statistics consume (train.py:131,
+gaussian_model.py:775-777).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..utils.sh import sh_to_rgb_clamped
+from ..utils.transforms import covariance_from_scaling_rotation, unstrip_symmetric
+
+
+class CameraView(NamedTuple):
+    """Device-side camera for rendering (column-vector convention).
+
+    viewmatrix: [4, 4] world→camera. projmatrix: [4, 4] = P @ W2V (clip from
+    world). campos: [3] camera center in world. tanfovx/tanfovy: scalars.
+    """
+
+    viewmatrix: jnp.ndarray
+    projmatrix: jnp.ndarray
+    campos: jnp.ndarray
+    tanfovx: jnp.ndarray
+    tanfovy: jnp.ndarray
+
+
+class Processed(NamedTuple):
+    xy: jnp.ndarray        # [N, 2] pixel-space means
+    depth: jnp.ndarray     # [N] camera-space z
+    conic: jnp.ndarray     # [N, 3] inverse 2D covariance (a, b, c)
+    rgb: jnp.ndarray       # [N, 3]
+    opacity: jnp.ndarray   # [N]
+    radius: jnp.ndarray    # [N] int32, 0 = culled
+    rect_min: jnp.ndarray  # [N, 2] int32 tile-coords (x, y), inclusive
+    rect_max: jnp.ndarray  # [N, 2] int32 tile-coords, exclusive
+    mask: jnp.ndarray      # [N] bool, visible
+
+
+def _tile_rect(xy, radius, tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
+    """Tile-footprint rectangle of a splat, CUDA getRect semantics."""
+    r = radius.astype(jnp.float32)
+    min_x = jnp.clip(jnp.floor((xy[:, 0] - r) / tile_w), 0, tiles_x).astype(jnp.int32)
+    min_y = jnp.clip(jnp.floor((xy[:, 1] - r) / tile_h), 0, tiles_y).astype(jnp.int32)
+    max_x = jnp.clip(jnp.floor((xy[:, 0] + r + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
+    max_y = jnp.clip(jnp.floor((xy[:, 1] + r + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+    return jnp.stack([min_x, min_y], -1), jnp.stack([max_x, max_y], -1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: CameraView,
+    image_width: int,
+    image_height: int,
+    *,
+    scales: Optional[jnp.ndarray] = None,
+    rotations: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    shs: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    ndc_offset: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    tile_w: int = 16,
+    tile_h: int = 16,
+) -> Processed:
+    """Project N Gaussians into screen space for one camera.
+
+    Either (scales, rotations) or cov3d_precomp (6-vector upper triangle) must
+    be given; likewise (shs, sh_degree) or colors_precomp. ``mask`` marks
+    alive capacity slots; dead slots come out with radius 0.
+    """
+    n = means3d.shape[0]
+    opacities = opacities.reshape(n)
+
+    # World → camera.
+    R_wc = camera.viewmatrix[:3, :3]
+    t_wc = camera.viewmatrix[:3, 3]
+    p_view = means3d @ R_wc.T + t_wc  # [N, 3]
+    depth = p_view[:, 2]
+    in_frustum = depth > 0.2
+
+    # World → clip → NDC (with the CUDA 1e-7 w-guard).
+    p_hom = means3d @ camera.projmatrix[:3, :3].T + camera.projmatrix[:3, 3]
+    w_hom = means3d @ camera.projmatrix[3, :3] + camera.projmatrix[3, 3]
+    p_ndc = p_hom[:, :2] / (w_hom[:, None] + 1e-7)
+    if ndc_offset is not None:
+        p_ndc = p_ndc + ndc_offset
+    xy = jnp.stack([
+        ((p_ndc[:, 0] + 1.0) * image_width - 1.0) * 0.5,
+        ((p_ndc[:, 1] + 1.0) * image_height - 1.0) * 0.5,
+    ], axis=-1)
+
+    # 3D covariance.
+    if cov3d_precomp is not None:
+        cov3d = unstrip_symmetric(cov3d_precomp)
+    else:
+        cov3d = covariance_from_scaling_rotation(scales, rotations, scale_modifier)
+
+    # EWA projection of the covariance. J is the Jacobian of camera→pixel at
+    # the frustum-clamped view point (limits ±1.3·tan_fov, CUDA computeCov2D).
+    focal_x = image_width / (2.0 * camera.tanfovx)
+    focal_y = image_height / (2.0 * camera.tanfovy)
+    lim_x = 1.3 * camera.tanfovx
+    lim_y = 1.3 * camera.tanfovy
+    # Sanitize z for culled points *before* dividing — jnp.where after the
+    # fact would still propagate NaNs through the backward pass.
+    z = jnp.where(in_frustum, depth, 1.0)
+    tx = jnp.clip(p_view[:, 0] / z, -lim_x, lim_x) * z
+    ty = jnp.clip(p_view[:, 1] / z, -lim_y, lim_y) * z
+
+    # Rows of J (third row of the CUDA J is zero — drop it).
+    zero = jnp.zeros_like(z)
+    J = jnp.stack([
+        jnp.stack([focal_x / z, zero, -focal_x * tx / (z * z)], -1),
+        jnp.stack([zero, focal_y / z, -focal_y * ty / (z * z)], -1),
+    ], axis=-2)  # [N, 2, 3]
+    JW = J @ R_wc  # [N, 2, 3]
+    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
+    cxx = cov2d[:, 0, 0] + 0.3
+    cyy = cov2d[:, 1, 1] + 0.3
+    cxy = cov2d[:, 0, 1]
+
+    det = cxx * cyy - cxy * cxy
+    det_valid = det != 0.0
+    det_inv = jnp.where(det_valid, 1.0 / jnp.where(det_valid, det, 1.0), 0.0)
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], -1)
+
+    mid = 0.5 * (cxx + cyy)
+    sq = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + sq
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - sq)))
+
+    visible = in_frustum & det_valid
+    if mask is not None:
+        visible = visible & mask
+
+    tiles_x = -(-image_width // tile_w)
+    tiles_y = -(-image_height // tile_h)
+    rect_min, rect_max = _tile_rect(xy, radius_f, tiles_x, tiles_y, tile_w, tile_h)
+    area = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0) * jnp.maximum(
+        rect_max[:, 1] - rect_min[:, 1], 0)
+    visible = visible & (radius_f > 0) & (area > 0)
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # Color.
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        dirs = means3d - camera.campos
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rgb, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
+
+    return Processed(xy=xy, depth=depth, conic=conic, rgb=rgb,
+                     opacity=opacities, radius=radius,
+                     rect_min=rect_min, rect_max=rect_max, mask=visible)

@@ -1,0 +1,157 @@
+"""Tiled differentiable rasterizer: preprocess → bin → per-tile composite.
+
+The production path replacing the CUDA tile rasterizer (SURVEY §2.9). The
+composite stage is mathematically identical to :mod:`raster_ref` but works on
+fixed-capacity per-tile Gaussian lists built by :mod:`binning`, so cost is
+O(T·K·P) instead of O(N·H·W).
+
+Two composite backends share one interface:
+- ``jnp``: scan over tile batches, masked cumprod compositing. Runs anywhere
+  (CPU tests, TPU), differentiable by construction, checkpointed per batch.
+- ``pallas``: hand-written TPU kernels with a custom VJP (ops/pallas/).
+
+All shapes static; binning runs under stop_gradient (indices only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .binning import TileBins, bin_gaussians
+from .preprocess import CameraView, Processed, preprocess  # noqa: F401 (re-export)
+
+
+class RasterConfig(NamedTuple):
+    tile_w: int = 16
+    tile_h: int = 16
+    max_tiles_per_gaussian: int = 64
+    tile_capacity: int = 512
+    tile_batch: int = 64
+    backend: str = "auto"  # "jnp" | "pallas" | "auto"
+
+
+def _tile_pixel_grid(tile_ids, tiles_x: int, tile_w: int, tile_h: int):
+    """Flat pixel coordinates [B, P] for a batch of tile ids."""
+    tx = (tile_ids % tiles_x).astype(jnp.float32)
+    ty = (tile_ids // tiles_x).astype(jnp.float32)
+    ix = jnp.arange(tile_w, dtype=jnp.float32)
+    iy = jnp.arange(tile_h, dtype=jnp.float32)
+    px = tx[:, None] * tile_w + jnp.tile(ix, tile_h)[None, :]
+    py = ty[:, None] * tile_h + jnp.repeat(iy, tile_w)[None, :]
+    return px, py
+
+
+def composite_tiles_jnp(xy, conic, rgb, opacity, valid, tile_ids,
+                        tiles_x: int, tile_w: int, tile_h: int, bg):
+    """Composite one batch of tiles.
+
+    xy [B,K,2], conic [B,K,3], rgb [B,K,3], opacity [B,K], valid [B,K],
+    tile_ids [B] → ([B, 3, P], final_T [B, P]) with P = tile_h*tile_w.
+    """
+    px, py = _tile_pixel_grid(tile_ids, tiles_x, tile_w, tile_h)  # [B, P]
+    dx = xy[:, :, 0, None] - px[:, None, :]   # [B, K, P]
+    dy = xy[:, :, 1, None] - py[:, None, :]
+    power = (-0.5 * (conic[:, :, 0, None] * dx * dx
+                     + conic[:, :, 2, None] * dy * dy)
+             - conic[:, :, 1, None] * dx * dy)
+    alpha = jnp.minimum(0.99, opacity[:, :, None] * jnp.exp(power))
+    contributes = valid[:, :, None] & (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    alpha = jnp.where(contributes, alpha, 0.0)
+
+    one_minus = 1.0 - alpha
+    ones = jnp.ones_like(one_minus[:, :1])
+    T_excl = jnp.cumprod(jnp.concatenate([ones, one_minus[:, :-1]], axis=1), axis=1)
+    fail = contributes & (T_excl * one_minus < 1e-4)
+    done_before = jnp.cumsum(fail.astype(jnp.int32), axis=1) - fail.astype(jnp.int32)
+    include = contributes & (done_before == 0) & ~fail
+
+    w = jnp.where(include, alpha * T_excl, 0.0)               # [B, K, P]
+    out = jnp.einsum("bkp,bkc->bcp", w, rgb)
+    final_T = jnp.prod(jnp.where(include, one_minus, 1.0), axis=1)  # [B, P]
+    out = out + final_T[:, None, :] * bg[None, :, None]
+    return out, final_T
+
+
+def _assemble_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int,
+                    tile_w: int, tile_h: int, width: int, height: int):
+    """[T, 3, P] per-tile images → [3, H, W]."""
+    img = tiles.reshape(tiles_y, tiles_x, 3, tile_h, tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, tiles_y * tile_h, tiles_x * tile_w)
+    return img[:, :height, :width]
+
+
+def rasterize(processed: Processed, image_width: int, image_height: int,
+              bg_color: jnp.ndarray, config: RasterConfig = RasterConfig(),
+              bins: Optional[TileBins] = None):
+    """Full tiled rasterization. Returns (image [3,H,W], aux dict).
+
+    aux: radii [N] int32, final_T [H, W], overflow counters from binning.
+    """
+    tile_w, tile_h = config.tile_w, config.tile_h
+    tiles_x = -(-image_width // tile_w)
+    tiles_y = -(-image_height // tile_h)
+    num_tiles = tiles_x * tiles_y
+
+    if bins is None:
+        bins = bin_gaussians(jax.lax.stop_gradient(processed), tiles_x, tiles_y,
+                             config.max_tiles_per_gaussian, config.tile_capacity)
+
+    # Gather per-tile attribute lists (bandwidth-bound XLA gathers).
+    idx = bins.gauss_idx                    # [T, K]
+    g_xy = processed.xy[idx]                # [T, K, 2]
+    g_conic = processed.conic[idx]
+    g_rgb = processed.rgb[idx]
+    g_op = processed.opacity[idx]
+    g_valid = bins.valid
+
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    if backend == "pallas":
+        from .pallas.composite import composite_tiles_pallas
+        tile_ids_all = jnp.arange(num_tiles, dtype=jnp.int32)
+        tiles_out, final_T = composite_tiles_pallas(
+            g_xy, g_conic, g_rgb, g_op, g_valid, tile_ids_all,
+            tiles_x, tile_w, tile_h, bg_color)
+    else:
+        # Batch tiles through a checkpointed scan to bound live memory.
+        b = config.tile_batch
+        pad = (-num_tiles) % b
+        def pad0(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        tile_ids_all = jnp.arange(num_tiles + pad, dtype=jnp.int32)
+        xs = (pad0(g_xy), pad0(g_conic), pad0(g_rgb), pad0(g_op), pad0(g_valid),
+              tile_ids_all)
+        nb = (num_tiles + pad) // b
+        xs = jax.tree.map(lambda x: x.reshape((nb, b) + x.shape[1:]), xs)
+
+        @jax.checkpoint
+        def body(carry, x):
+            xy, conic, rgb, op, val, ids = x
+            out, fT = composite_tiles_jnp(xy, conic, rgb, op, val, ids,
+                                          tiles_x, tile_w, tile_h, bg_color)
+            return carry, (out, fT)
+
+        _, (tiles_out, final_T) = jax.lax.scan(body, 0, xs)
+        tiles_out = tiles_out.reshape(num_tiles + pad, 3, tile_h * tile_w)[:num_tiles]
+        final_T = final_T.reshape(num_tiles + pad, tile_h * tile_w)[:num_tiles]
+
+    image = _assemble_image(tiles_out, tiles_x, tiles_y, tile_w, tile_h,
+                            image_width, image_height)
+    final_T_img = _assemble_image(
+        jnp.broadcast_to(final_T[:, None, :], (num_tiles, 3, tile_h * tile_w)),
+        tiles_x, tiles_y, tile_w, tile_h, image_width, image_height)[0]
+
+    aux = {
+        "radii": processed.radius,
+        "final_T": final_T_img,
+        "overflow_tiles": bins.overflow_tiles,
+        "overflow_capacity": bins.overflow_capacity,
+        "tile_counts": bins.counts,
+    }
+    return image, aux

@@ -1,0 +1,111 @@
+"""Typed configuration mirroring the reference's flag surface.
+
+Replaces the reflection-argparse ParamGroups (arguments/__init__.py:16-108)
+with dataclasses serialized as JSON — same field names and defaults, no
+``eval()`` round-trips. ``save_cfg_args``/``load_cfg_args`` keep the on-disk
+cfg_args artifact for interoperability (train.py:172-173,
+arguments/__init__.py:110-130) via a JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List
+
+
+@dataclass
+class ModelConfig:
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    data_device: str = "tpu"
+    eval: bool = False
+    # research extras (reference arguments/__init__.py:57-66)
+    grow_dir: bool = False
+    continous_dir: bool = False
+    grow_distance: bool = False
+    num_dirs: int = 128
+    prob_notreinit: bool = False
+    symmetric_split: bool = False
+    split_notreinit: bool = False
+    learn_split_distance: bool = False
+    learn_split_scale: bool = False
+
+    def extras(self) -> dict:
+        return {k: getattr(self, k) for k in
+                ("grow_dir", "continous_dir", "grow_distance",
+                 "learn_split_distance", "learn_split_scale")}
+
+
+@dataclass
+class PipelineConfig:
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    debug: bool = False
+    detach: bool = False
+    # TPU-specific knobs (no reference analog)
+    backend: str = "auto"            # rasterizer composite backend
+    tile_capacity: int = 1024
+    max_tiles_per_gaussian: int = 128
+    tile_batch: int = 128
+
+
+@dataclass
+class OptimizationConfig:
+    iterations: int = 30_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    growdirs_lr: float = 0.005
+    growdistance_lr: float = 0.001
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    min_opacity: float = 0.005
+    random_background: bool = False
+    opacitysparse: float = 0.0
+    splitdistance_lr: float = 0.005
+    splitscale_lr: float = 0.005
+    # TPU-specific: capacity management for the padded point store
+    initial_capacity_factor: float = 4.0   # capacity = factor × init points
+    capacity_growth_factor: float = 2.0
+    max_capacity: int = 4_000_000
+
+
+@dataclass
+class TrainRunConfig:
+    test_iterations: List[int] = field(default_factory=lambda: [10_000, 30_000, 40_000])
+    save_iterations: List[int] = field(default_factory=lambda: [10_000, 30_000, 40_000])
+    checkpoint_iterations: List[int] = field(default_factory=list)
+    start_checkpoint: str = ""
+    eval_every: int = 0      # 0 = off (the reference's every-50-iters sweep is opt-in)
+    seed: int = 0
+    log_every: int = 10
+
+
+def save_cfg_args(model_path: str, model_cfg: ModelConfig) -> None:
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump(dataclasses.asdict(model_cfg), f, indent=2)
+
+
+def load_cfg_args(model_path: str) -> ModelConfig:
+    with open(os.path.join(model_path, "cfg_args.json")) as f:
+        d = json.load(f)
+    known = {f.name for f in dataclasses.fields(ModelConfig)}
+    return ModelConfig(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,198 @@
+"""The training driver: the TPU-native equivalent of train.py:34-160.
+
+Host-side orchestration around jitted steps: camera sampling, LR/SH
+scheduling, densification cadence, capacity growth, checkpoints and eval.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.scene import Scene
+from ..models.densify import DensifyConfig, densify_and_prune, reset_opacity
+from ..models.gaussians import compact, init_from_pcd, num_alive, pad_capacity
+from ..ops.rasterize import RasterConfig
+from ..utils.losses import psnr
+from ..utils.system import seed_everything
+from .checkpoint import load_checkpoint, save_checkpoint
+from .config import (ModelConfig, OptimizationConfig, PipelineConfig,
+                     TrainRunConfig, save_cfg_args)
+from .optim import AdamState, adam_init
+from .step import make_eval_render, make_train_step
+
+
+def raster_config_from_pipe(pipe: PipelineConfig) -> RasterConfig:
+    return RasterConfig(backend=pipe.backend,
+                        tile_capacity=pipe.tile_capacity,
+                        max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
+                        tile_batch=pipe.tile_batch)
+
+
+def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+          pipe_cfg: PipelineConfig, run_cfg: TrainRunConfig,
+          scene: Optional[Scene] = None,
+          log_fn: Callable[[str], None] = print):
+    """Run the full optimization. Returns (params, aux, scene, history)."""
+    seed_everything(run_cfg.seed)
+    if scene is None:
+        scene = Scene(model_cfg)
+    if model_cfg.model_path:
+        save_cfg_args(model_cfg.model_path, model_cfg)
+
+    raster_cfg = raster_config_from_pipe(pipe_cfg)
+    spatial_lr_scale = float(scene.cameras_extent)
+    extras = model_cfg.extras()
+    use_extras = any(extras.values())
+
+    first_iter = 0
+    active_sh = 0
+    if run_cfg.start_checkpoint:
+        params, adam, aux, first_iter, active_sh = load_checkpoint(
+            run_cfg.start_checkpoint)
+        log_fn(f"resumed from {run_cfg.start_checkpoint} at iter {first_iter}")
+    else:
+        n0 = len(scene.info.points)
+        capacity = max(1024, int(n0 * opt_cfg.initial_capacity_factor))
+        capacity = 1 << math.ceil(math.log2(capacity))
+        params, aux = init_from_pcd(
+            scene.info.points, scene.info.colors, capacity,
+            sh_degree=model_cfg.sh_degree,
+            extras=extras if use_extras else None,
+            num_dirs=model_cfg.num_dirs,
+            key=jax.random.PRNGKey(run_cfg.seed))
+        adam = adam_init(params)
+        log_fn(f"Number of points at initialisation : {n0} (capacity {capacity})")
+
+    train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
+    eval_render = make_eval_render(raster_cfg)
+    densify_cfg = DensifyConfig(
+        grad_threshold=opt_cfg.densify_grad_threshold,
+        min_opacity=opt_cfg.min_opacity,
+        percent_dense=opt_cfg.percent_dense,
+        symmetric_split=model_cfg.symmetric_split)
+    densify_jit = jax.jit(
+        lambda p, m, n, a, k, gate: densify_and_prune(
+            p, m, n, a, k, scene.cameras_extent, densify_cfg, gate))
+    reset_jit = jax.jit(reset_opacity)
+
+    bg_np = np.ones(3, np.float32) if model_cfg.white_background else np.zeros(3, np.float32)
+    bg = jnp.asarray(bg_np)
+    key = jax.random.PRNGKey(run_cfg.seed + 1)
+
+    viewpoint_stack: list = []
+    history = {"loss": [], "psnr_test": {}, "n_alive": {}, "iter_time": []}
+    ema_loss = 0.0
+    t_last = time.perf_counter()
+
+    for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        if iteration % 1000 == 0 and active_sh < model_cfg.sh_degree:
+            active_sh += 1
+
+        if not viewpoint_stack:
+            viewpoint_stack = scene.get_train_cameras().copy()
+        cam = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+
+        if opt_cfg.random_background:
+            key, sub = jax.random.split(key)
+            bg_it = jax.random.uniform(sub, (3,))
+        else:
+            bg_it = bg
+
+        gt = jnp.asarray(cam.image)
+        do_stats = iteration < opt_cfg.densify_until_iter
+        params, adam, aux, metrics = train_step(
+            params, adam, aux, cam.view(), gt, bg_it,
+            jnp.int32(iteration), jnp.asarray(do_stats),
+            width=cam.image.shape[2], height=cam.image.shape[1],
+            sh_degree=active_sh)
+
+        # ---- densification schedule (train.py:126-137) -------------------
+        if iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                n_al = int(num_alive(aux))
+                capacity = params.xyz.shape[0]
+                if n_al > 0.7 * capacity and capacity < opt_cfg.max_capacity:
+                    new_cap = min(int(capacity * opt_cfg.capacity_growth_factor),
+                                  opt_cfg.max_capacity)
+                    log_fn(f"[ITER {iteration}] capacity {capacity} → {new_cap}")
+                    params, aux = pad_capacity(params, aux, new_cap)
+                    adam = AdamState(count=adam.count,
+                                     mu=_pad_tree(adam.mu, new_cap),
+                                     nu=_pad_tree(adam.nu, new_cap))
+                key, sub = jax.random.split(key)
+                gate = iteration > opt_cfg.opacity_reset_interval
+                params, mu, nu, aux, info = densify_jit(
+                    params, adam.mu, adam.nu, aux, sub, jnp.asarray(gate))
+                adam = adam._replace(mu=mu, nu=nu)
+                if int(info["n_dropped"]) > 0:
+                    log_fn(f"[ITER {iteration}] WARNING: {int(info['n_dropped'])} "
+                           "densification slots dropped (capacity starved)")
+            if (iteration % opt_cfg.opacity_reset_interval == 0
+                    or (model_cfg.white_background
+                        and iteration == opt_cfg.densify_from_iter)):
+                params, mu, nu = reset_jit(params, adam.mu, adam.nu)
+                adam = adam._replace(mu=mu, nu=nu)
+
+        # ---- logging / eval / save --------------------------------------
+        loss = float(metrics.loss)
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+        if iteration % run_cfg.log_every == 0:
+            now = time.perf_counter()
+            it_s = run_cfg.log_every / (now - t_last)
+            t_last = now
+            history["loss"].append((iteration, loss))
+            history["iter_time"].append((iteration, it_s))
+        if iteration % 500 == 0:
+            log_fn(f"[ITER {iteration}] loss {ema_loss:.5f} "
+                   f"alive {int(num_alive(aux))} "
+                   f"({history['iter_time'][-1][1]:.1f} it/s)"
+                   if history["iter_time"] else f"[ITER {iteration}]")
+        if int(metrics.overflow_capacity) > 0 and iteration % 100 == 0:
+            log_fn(f"[ITER {iteration}] WARNING: tile capacity overflow "
+                   f"{int(metrics.overflow_capacity)} entries")
+
+        eval_now = (iteration in run_cfg.test_iterations
+                    or (run_cfg.eval_every and iteration % run_cfg.eval_every == 0))
+        if eval_now and scene.get_test_cameras():
+            ps = evaluate_psnr(eval_render, params, aux, scene.get_test_cameras(),
+                               bg, active_sh)
+            history["psnr_test"][iteration] = ps
+            history["n_alive"][iteration] = int(num_alive(aux))
+            log_fn(f"[ITER {iteration}] Evaluating test: PSNR {ps:.2f}")
+
+        if iteration in run_cfg.save_iterations and model_cfg.model_path:
+            log_fn(f"[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, compact(params, aux))
+        if iteration in run_cfg.checkpoint_iterations and model_cfg.model_path:
+            log_fn(f"[ITER {iteration}] Saving Checkpoint")
+            save_checkpoint(f"{model_cfg.model_path}/chkpnt{iteration}.npz",
+                            params, adam, aux, iteration, active_sh)
+
+    return params, aux, scene, history
+
+
+def _pad_tree(tree, new_capacity: int):
+    """Zero-pad every [C, ...] leaf of a params-shaped tree to new capacity."""
+    def f(leaf):
+        pad = new_capacity - leaf.shape[0]
+        return jnp.pad(leaf, [(0, pad)] + [(0, 0)] * (leaf.ndim - 1))
+    return jax.tree.map(f, tree)
+
+
+def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree) -> float:
+    vals = []
+    for cam in cameras:
+        img = eval_render(params, aux.alive, cam.view(), bg,
+                          width=cam.image.shape[2], height=cam.image.shape[1],
+                          sh_degree=sh_degree)
+        gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+        vals.append(float(psnr(img, gt)[0]))
+    return float(np.mean(vals))

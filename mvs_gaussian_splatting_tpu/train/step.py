@@ -1,0 +1,94 @@
+"""The jitted training step: render → loss → backward → Adam → stats.
+
+Replaces the body of the reference hot loop (train.py:70-142). One compiled
+function per (image size, active SH degree, capacity) triple — SH warmup
+causes at most sh_degree recompiles, capacity growth a handful more.
+
+The viewspace-gradient densification statistic comes out of the same backward
+pass as the parameter gradients, via the ``ndc_offset`` zero input
+(ops/preprocess.py docstring).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.densify import add_densification_stats
+from ..models.gaussians import GaussianAux, GaussianParams
+from ..ops.rasterize import RasterConfig
+from ..ops.render import render
+from ..utils.losses import l1_loss, ssim
+from .optim import AdamState, adam_update, group_lrs
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    n_visible: jnp.ndarray
+    overflow_tiles: jnp.ndarray
+    overflow_capacity: jnp.ndarray
+
+
+def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
+    """Returns train_step(params, adam, aux, camera, gt, bg, step, do_stats)
+    jitted with static (width, height, sh_degree)."""
+
+    @partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+    def train_step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
+                   camera, gt, bg, step, do_stats, *, width: int, height: int,
+                   sh_degree: int):
+        def loss_fn(p, ndc_off):
+            out = render(camera, width, height, p, bg, sh_degree=sh_degree,
+                         alive=aux.alive, ndc_offset=ndc_off,
+                         raster_config=raster_cfg)
+            img = out["render"]
+            l1 = l1_loss(img, gt)
+            loss = ((1.0 - opt_cfg.lambda_dssim) * l1
+                    + opt_cfg.lambda_dssim * (1.0 - ssim(img, gt)))
+            if opt_cfg.opacitysparse > 0:
+                # push near-dead opacities toward 1 (train.py:102-106)
+                opac = jax.nn.sigmoid(p.opacity[:, 0])
+                m = aux.alive & (opac < 0.005)
+                cnt = m.sum()
+                sparse = jnp.where(
+                    cnt > 0,
+                    (jnp.abs(opac - 1.0) * m).sum() / jnp.maximum(cnt, 1),
+                    0.0)
+                loss = loss + opt_cfg.opacitysparse * sparse
+            return loss, (out, l1)
+
+        ndc_zero = jnp.zeros((params.xyz.shape[0], 2))
+        (loss, (out, l1)), (g_params, g_ndc) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
+
+        lrs = group_lrs(opt_cfg, step, spatial_lr_scale, params)
+        new_params, new_adam = adam_update(g_params, adam, params, lrs,
+                                           alive=aux.alive)
+
+        visible = out["visibility_filter"]
+        new_aux = jax.lax.cond(
+            do_stats,
+            lambda a: add_densification_stats(a, out["radii"], g_ndc, visible),
+            lambda a: a, aux)
+
+        metrics = StepMetrics(loss=loss, l1=l1,
+                              n_visible=visible.sum(),
+                              overflow_tiles=out["overflow_tiles"],
+                              overflow_capacity=out["overflow_capacity"])
+        return new_params, new_adam, new_aux, metrics
+
+    return train_step
+
+
+def make_eval_render(raster_cfg: RasterConfig):
+    @partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+    def eval_render(params, alive, camera, bg, *, width: int, height: int,
+                    sh_degree: int):
+        out = render(camera, width, height, params, bg, sh_degree=sh_degree,
+                     alive=alive, raster_config=raster_cfg)
+        return jnp.clip(out["render"], 0.0, 1.0)
+    return eval_render
