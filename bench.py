@@ -1,0 +1,112 @@
+"""Benchmark: 1080p differentiable-render forward+backward on one TPU chip.
+
+Measures the full hot path of a training iteration — preprocess, tile
+binning, Pallas composite, backward to all Gaussian parameters — at
+1920×1088 with a realistically-sized synthetic scene (post-densification
+scale distribution), and prints ONE JSON line.
+
+Metric: fwd+bwd steps/sec at 1080p ("training-render fps equivalent").
+Baseline: the reference's headline ≥30 fps at 1080p (README.md:14) — which
+is forward-only rendering on a consumer GPU; we compare our HARDER fwd+bwd
+number against it, so vs_baseline = fps / 30.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_scene(n: int, width: int, height: int, seed: int = 0):
+    import jax.numpy as jnp
+    from mvs_gaussian_splatting_tpu.ops.preprocess import CameraView
+    from mvs_gaussian_splatting_tpu.utils import graphics
+
+    rng = np.random.RandomState(seed)
+    fovx = math.radians(65.0)
+    fovy = graphics.focal2fov(graphics.fov2focal(fovx, width), height)
+    P = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
+    cam = CameraView(jnp.eye(4), jnp.asarray(P), jnp.zeros(3),
+                     jnp.float32(math.tan(fovx / 2)),
+                     jnp.float32(math.tan(fovy / 2)))
+    # depth-stratified cloud filling the frustum; log-normal world scales
+    # roughly matching a densified scene (most splats a few pixels).
+    z = rng.uniform(2.0, 12.0, n)
+    x = rng.uniform(-0.95, 0.95, n) * z * math.tan(fovx / 2)
+    y = rng.uniform(-0.95, 0.95, n) * z * math.tan(fovy / 2)
+    means = np.stack([x, y, z], -1).astype(np.float32)
+    focal = width / (2 * math.tan(fovx / 2))
+    px_target = rng.lognormal(mean=np.log(2.5), sigma=0.6, size=n)  # pixels
+    world_scale = px_target * z / focal
+    scales = (world_scale[:, None] *
+              rng.uniform(0.6, 1.4, (n, 3))).astype(np.float32)
+    quats = rng.randn(n, 4).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    shs = (rng.randn(n, 16, 3) * 0.2).astype(np.float32)
+    return cam, (jnp.asarray(means), jnp.asarray(np.log(scales)),
+                 jnp.asarray(quats),
+                 jnp.asarray(np.log(opac / (1 - opac)).astype(np.float32)),
+                 jnp.asarray(shs))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mvs_gaussian_splatting_tpu.ops.preprocess import preprocess
+    from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig, rasterize
+    from mvs_gaussian_splatting_tpu.utils.transforms import normalize
+
+    width, height = 1920, 1088
+    n = 200_000
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    cfg = RasterConfig(tile_capacity=1024, max_tiles_per_gaussian=64,
+                       tile_batch=256, backend=backend)
+    cam, (means, log_scales, quats, opac_logit, shs) = build_scene(n, width, height)
+    bg = jnp.zeros(3)
+
+    def loss_fn(means, log_scales, quats, opac_logit, shs):
+        p = preprocess(means, jax.nn.sigmoid(opac_logit), cam, width, height,
+                       scales=jnp.exp(log_scales), rotations=normalize(quats),
+                       shs=shs, sh_degree=3,
+                       tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+        img, aux = rasterize(p, width, height, bg, cfg)
+        return img.mean(), aux
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True))
+
+    # warmup / compile
+    grads, aux = step(means, log_scales, quats, opac_logit, shs)
+    jax.block_until_ready(grads)
+    overflow = int(aux["overflow_capacity"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        grads, aux = step(means, log_scales, quats, opac_logit, shs)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = 1.0 / dt
+    mpix_s = (width * height) * fps / 1e6
+    result = {
+        "metric": "1080p_fwdbwd_fps",
+        "value": round(fps, 3),
+        "unit": "steps/s (1920x1088 fwd+bwd, 200K gaussians, 1 chip)",
+        "vs_baseline": round(fps / 30.0, 4),
+        "extra": {
+            "mpix_per_s": round(mpix_s, 1),
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+            "tile_capacity_overflow_entries": overflow,
+            "ms_per_step": round(dt * 1000, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

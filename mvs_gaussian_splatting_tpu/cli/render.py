@@ -1,0 +1,101 @@
+"""Render CLI — the equivalent of the reference's render.py.
+
+Loads a trained model at iteration N and renders train/test sets to PNG
+(renders/ + gt/), reading cfg_args.json from the model dir like
+get_combined_args (arguments/__init__.py:110-130, minus the eval()).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data.scene import Scene
+from ..models.gaussians import GaussianParams
+from ..models.ply import load_gaussian_ply
+from ..ops.render import render
+from ..train.config import ModelConfig, PipelineConfig, load_cfg_args
+from ..train.loop import raster_config_from_pipe
+from ..utils.system import search_max_iteration
+from .args import add_dataclass_args, extract
+
+
+def params_from_ply(path: str, sh_degree: int) -> GaussianParams:
+    d = load_gaussian_ply(path, max_sh_degree=sh_degree)
+    return GaussianParams(xyz=jnp.asarray(d["xyz"]),
+                          f_dc=jnp.asarray(d["f_dc"]),
+                          f_rest=jnp.asarray(d["f_rest"]),
+                          scaling=jnp.asarray(d["scaling"]),
+                          rotation=jnp.asarray(d["rotation"]),
+                          opacity=jnp.asarray(d["opacity"]))
+
+
+def save_image(img, path: str) -> None:
+    arr = np.asarray(jnp.clip(img, 0.0, 1.0))
+    Image.fromarray((arr.transpose(1, 2, 0) * 255 + 0.5).astype(np.uint8)
+                    ).save(path)
+
+
+def render_set(model_path, name, iteration, cameras, params, bg, sh_degree,
+               raster_cfg):
+    render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
+    gt_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
+    os.makedirs(render_path, exist_ok=True)
+    os.makedirs(gt_path, exist_ok=True)
+    for idx, cam in enumerate(cameras):
+        out = render(cam.view(), cam.image.shape[2], cam.image.shape[1],
+                     params, bg, sh_degree=sh_degree, raster_config=raster_cfg)
+        save_image(out["render"], os.path.join(render_path, f"{idx:05d}.png"))
+        save_image(jnp.asarray(cam.image), os.path.join(gt_path, f"{idx:05d}.png"))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Testing script parameters")
+    add_dataclass_args(parser, ModelConfig)
+    add_dataclass_args(parser, PipelineConfig)
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    args = parser.parse_args(argv)
+
+    try:
+        saved = load_cfg_args(args.model_path)
+        for k in ("source_path", "images", "white_background", "eval", "sh_degree"):
+            if getattr(args, k) in (None, "", False, -1) or k == "sh_degree":
+                setattr(args, k, getattr(saved, k))
+    except FileNotFoundError:
+        pass
+    model_cfg = extract(ModelConfig, args)
+    model_cfg.model_path = args.model_path
+    pipe_cfg = extract(PipelineConfig, args)
+
+    iteration = args.iteration
+    if iteration == -1:
+        iteration = search_max_iteration(
+            os.path.join(model_cfg.model_path, "point_cloud"))
+    print(f"Rendering {model_cfg.model_path} at iteration {iteration}")
+
+    scene = Scene(model_cfg, load_iteration=iteration, shuffle=False)
+    ply = os.path.join(model_cfg.model_path, "point_cloud",
+                       f"iteration_{iteration}", "point_cloud.ply")
+    params = params_from_ply(ply, model_cfg.sh_degree)
+    bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
+    raster_cfg = raster_config_from_pipe(pipe_cfg)
+
+    if not args.skip_train:
+        render_set(model_cfg.model_path, "train", iteration,
+                   scene.get_train_cameras(), params, bg,
+                   model_cfg.sh_degree, raster_cfg)
+    if not args.skip_test:
+        render_set(model_cfg.model_path, "test", iteration,
+                   scene.get_test_cameras(), params, bg,
+                   model_cfg.sh_degree, raster_cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -45,21 +45,39 @@ def _pixel_grid(tile_id, tiles_x: int, tile_w: int, tile_h: int, p: int):
     return px, py
 
 
+def _tri_ones(ck: int, strict: bool):
+    """Upper-triangular ones [CK, CK]: x @ tri = (exclusive) prefix sums.
+
+    Mosaic has no cumsum/cumprod lowering — a triangular MXU matmul is the
+    TPU-native cumulative op for lane-axis scans of width 128.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (ck, ck), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ck, ck), 1)
+    return ((r < c) if strict else (r <= c)).astype(jnp.float32)
+
+
+def _cumsum_lanes(x, strict: bool):
+    """Prefix sum along the lane axis of [P, CK] via triangular matmul."""
+    return jnp.dot(x, _tri_ones(x.shape[1], strict),
+                   preferred_element_type=jnp.float32)
+
+
 def _chunk_include(alpha, contrib, t_run, done_in):
     """Shared fwd/bwd chunk logic: per-entry include mask + transmittances.
 
     alpha, contrib: [P, CK]; t_run, done_in: [P, 1].
     Returns (include [P,CK], t_excl [P,CK], t_out [P,1], done_out [P,1]).
+    Cumulative products run in log space (α ≤ 0.99 ⇒ 1−α ≥ 0.01, well inside
+    log1p's stable range).
     """
+    log_om = jnp.where(contrib, jnp.log1p(-alpha), 0.0)
     one_minus = jnp.where(contrib, 1.0 - alpha, 1.0)
-    # exclusive cumulative product along lanes
-    cp = jnp.cumprod(one_minus, axis=1)
-    t_excl = t_run * (cp / one_minus)          # α ≤ 0.99 ⇒ one_minus ≥ 0.01
+    t_excl = t_run * jnp.exp(_cumsum_lanes(log_om, strict=True))
     fail = contrib & (t_excl * one_minus < 1e-4)
-    prior_fail = jnp.cumsum(fail.astype(jnp.float32), axis=1) - fail
+    prior_fail = _cumsum_lanes(fail.astype(jnp.float32), strict=True)
     include = contrib & (prior_fail == 0.0) & ~fail & ~(done_in > 0)
-    t_out = t_run * jnp.prod(jnp.where(include, one_minus, 1.0), axis=1,
-                             keepdims=True)
+    t_out = t_run * jnp.exp(
+        jnp.sum(jnp.where(include, log_om, 0.0), axis=1, keepdims=True))
     done_out = jnp.maximum(done_in,
                            jnp.max(fail.astype(jnp.float32), axis=1,
                                    keepdims=True))
@@ -84,18 +102,18 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
     p = tile_w * tile_h
     t = pl.program_id(0)
     px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
-    n_chunks = (jnp.minimum(count_ref[0, 0], k) + CHUNK - 1) // CHUNK
+    n_chunks = (jnp.minimum(count_ref[t], k) + CHUNK - 1) // CHUNK
 
     def body(state):
         c, t_run, done, acc = state
         o = c * CHUNK
-        xs = xs_ref[:, pl.ds(o, CHUNK)]
-        ys = ys_ref[:, pl.ds(o, CHUNK)]
-        ca = ca_ref[:, pl.ds(o, CHUNK)]
-        cb = cb_ref[:, pl.ds(o, CHUNK)]
-        cc = cc_ref[:, pl.ds(o, CHUNK)]
-        op = op_ref[:, pl.ds(o, CHUNK)]
-        vl = valid_ref[:, pl.ds(o, CHUNK)]
+        xs = xs_ref[0, :, pl.ds(o, CHUNK)]
+        ys = ys_ref[0, :, pl.ds(o, CHUNK)]
+        ca = ca_ref[0, :, pl.ds(o, CHUNK)]
+        cb = cb_ref[0, :, pl.ds(o, CHUNK)]
+        cc = cc_ref[0, :, pl.ds(o, CHUNK)]
+        op = op_ref[0, :, pl.ds(o, CHUNK)]
+        vl = valid_ref[0, :, pl.ds(o, CHUNK)]
         _, _, _, alpha, contrib = _alpha_terms(xs, ys, ca, cb, cc, op, vl, px, py)
         include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
@@ -112,7 +130,7 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
     _, t_fin, _, acc = jax.lax.while_loop(cond, body, init)
 
     out_ref[0, :, :] = acc + t_fin * bg_ref[:, :]
-    tfin_ref[:, :] = t_fin.reshape(1, p)
+    tfin_ref[0, :, :] = t_fin.reshape(1, p)
 
 
 def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
@@ -123,10 +141,10 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
     p = tile_w * tile_h
     t = pl.program_id(0)
     px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
-    n_chunks = (jnp.minimum(count_ref[0, 0], k) + CHUNK - 1) // CHUNK
+    n_chunks = (jnp.minimum(count_ref[t], k) + CHUNK - 1) // CHUNK
 
     g_out = gout_ref[0, :, :]                    # [P, 3]
-    t_fin = tfin_ref[:, :].reshape(p, 1)         # [P, 1]
+    t_fin = tfin_ref[0, :, :].reshape(p, 1)      # [P, 1]
     bg = bg_ref[:, :]                            # [1, 3]
     # residual behind entry k plus background: R_k = (out − acc_prefix_k)
     # where out already includes T_fin·bg. dα needs Σ_c g_c·R_k,c/(1−α).
@@ -134,18 +152,18 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
     # External final_T cotangent only: the g·bg·T_fin pathway is already part
     # of g_dot_S below (out_sav includes the background term) — adding it here
     # would double count.
-    g_tfin_ext = gtfin_ref[:, :].reshape(p, 1)
+    g_tfin_ext = gtfin_ref[0, :, :].reshape(p, 1)
 
     def body(state):
         c, t_run, done, prefix = state
         o = c * CHUNK
-        xs = xs_ref[:, pl.ds(o, CHUNK)]
-        ys = ys_ref[:, pl.ds(o, CHUNK)]
-        ca = ca_ref[:, pl.ds(o, CHUNK)]
-        cb = cb_ref[:, pl.ds(o, CHUNK)]
-        cc = cc_ref[:, pl.ds(o, CHUNK)]
-        op = op_ref[:, pl.ds(o, CHUNK)]
-        vl = valid_ref[:, pl.ds(o, CHUNK)]
+        xs = xs_ref[0, :, pl.ds(o, CHUNK)]
+        ys = ys_ref[0, :, pl.ds(o, CHUNK)]
+        ca = ca_ref[0, :, pl.ds(o, CHUNK)]
+        cb = cb_ref[0, :, pl.ds(o, CHUNK)]
+        cc = cc_ref[0, :, pl.ds(o, CHUNK)]
+        op = op_ref[0, :, pl.ds(o, CHUNK)]
+        vl = valid_ref[0, :, pl.ds(o, CHUNK)]
         dx, dy, g, alpha, contrib = _alpha_terms(xs, ys, ca, cb, cc, op, vl, px, py)
         include, t_excl, t_new, done_new = _chunk_include(alpha, contrib, t_run, done)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
@@ -166,7 +184,7 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         # Σ_c g_c S'_k,c = Σ_c g_c out_c − Σ_c g_c prefix_after_k,c.
         # prefix_after contraction: running scalar prefix of w_j (g·rgb_j):
         wg = w * g_dot_rgb                                    # [P, CK]
-        cums = jnp.cumsum(wg, axis=1) + prefix                # Σ_{j<=k} g·w·rgb
+        cums = _cumsum_lanes(wg, strict=False) + prefix       # Σ_{j<=k} g·w·rgb
         g_dot_out = jnp.sum(g_out * out_sav, axis=1, keepdims=True)
         g_dot_S = g_dot_out - cums                            # Σ_c g_c S'_k,c
         dalpha = jnp.where(
@@ -186,12 +204,12 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         dcb = dpower * (-dx * dy)
         dcc = dpower * (-0.5 * dy * dy)
 
-        gxs_ref[:, pl.ds(o, CHUNK)] += jnp.sum(dxp, axis=0, keepdims=True)
-        gys_ref[:, pl.ds(o, CHUNK)] += jnp.sum(dyp, axis=0, keepdims=True)
-        gca_ref[:, pl.ds(o, CHUNK)] += jnp.sum(dca, axis=0, keepdims=True)
-        gcb_ref[:, pl.ds(o, CHUNK)] += jnp.sum(dcb, axis=0, keepdims=True)
-        gcc_ref[:, pl.ds(o, CHUNK)] += jnp.sum(dcc, axis=0, keepdims=True)
-        gop_ref[:, pl.ds(o, CHUNK)] += jnp.sum(dop, axis=0, keepdims=True)
+        gxs_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dxp, axis=0, keepdims=True)
+        gys_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dyp, axis=0, keepdims=True)
+        gca_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dca, axis=0, keepdims=True)
+        gcb_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dcb, axis=0, keepdims=True)
+        gcc_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dcc, axis=0, keepdims=True)
+        gop_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dop, axis=0, keepdims=True)
 
         return c + 1, t_new, done_new, cums[:, -1:]
 
@@ -209,12 +227,11 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
 
 
 def _specs(k: int, p: int):
-    row = lambda i: (i, 0)
+    row = lambda i, *_: (i, 0, 0)
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),  # counts
-        *[pl.BlockSpec((1, k), row, memory_space=pltpu.VMEM)] * 7,    # attrs
-        pl.BlockSpec((1, k, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),  # bg
+        *[pl.BlockSpec((1, 1, k), row, memory_space=pltpu.VMEM)] * 7,  # attrs
+        pl.BlockSpec((1, k, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),  # bg
     ]
     return in_specs
 
@@ -238,22 +255,27 @@ def _composite_fwd_impl(attrs, rgb, valid, counts, bg, tiles_x, tile_w, tile_h,
     p = tile_w * tile_h
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_w=tile_w,
                                tile_h=tile_h, k=k)
-    out, tfin = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t,),
         in_specs=_specs(k, p),
         out_specs=[
-            pl.BlockSpec((1, p, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+    )
+    r3 = lambda a: a.reshape(t, 1, k)
+    out, tfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t, p, 3), jnp.float32),
-            jax.ShapeDtypeStruct((t, p), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(counts.reshape(t, 1), xs, ys, ca, cb, cc, op, valid, rgb,
-      bg.reshape(1, 3))
-    return out, tfin
+    )(counts.astype(jnp.int32), r3(xs), r3(ys), r3(ca), r3(cb), r3(cc), r3(op),
+      r3(valid), rgb, bg.reshape(1, 3))
+    return out, tfin.reshape(t, p)
 
 
 def _composite_vjp_fwd(attrs, rgb, valid, counts, bg, tiles_x, tile_w, tile_h,
@@ -272,24 +294,31 @@ def _composite_vjp_bwd(tiles_x, tile_w, tile_h, k, interpret, res, cts):
     kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_w=tile_w,
                                tile_h=tile_h, k=k)
     in_specs = _specs(k, p) + [
-        pl.BlockSpec((1, p, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # out
-        pl.BlockSpec((1, p), lambda i: (i, 0), memory_space=pltpu.VMEM),        # tfin
-        pl.BlockSpec((1, p, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # g_out
-        pl.BlockSpec((1, p), lambda i: (i, 0), memory_space=pltpu.VMEM),        # g_tfin
+        pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),  # out
+        pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),  # tfin
+        pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),  # g_out
+        pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),  # g_tfin
     ]
-    grads = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, k), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((1, 1, k), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)] * 6
-        + [pl.BlockSpec((1, k, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((t, k), jnp.float32)] * 6
+        + [pl.BlockSpec((1, k, 3), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+    )
+    r3 = lambda a: a.reshape(t, 1, k)
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((t, 1, k), jnp.float32)] * 6
         + [jax.ShapeDtypeStruct((t, k, 3), jnp.float32)],
         interpret=interpret,
-    )(counts.reshape(t, 1), xs, ys, ca, cb, cc, op, valid, rgb,
-      bg.reshape(1, 3), out, tfin, g_out, g_tfin.reshape(t, p))
-    gxs, gys, gca, gcb, gcc, gop, grgb = grads
+    )(counts.astype(jnp.int32), r3(xs), r3(ys), r3(ca), r3(cb), r3(cc), r3(op),
+      r3(valid), rgb, bg.reshape(1, 3), out, tfin.reshape(t, 1, p),
+      g_out, g_tfin.reshape(t, 1, p))
+    gxs, gys, gca, gcb, gcc, gop, grgb = [g.reshape(t, k) for g in grads[:6]] + [grads[6]]
     g_bg = jnp.einsum("tpc,tp->c", g_out, tfin)
     return ((gxs, gys, gca, gcb, gcc, gop), grgb, None, None, g_bg)
 

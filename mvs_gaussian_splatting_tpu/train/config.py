@@ -54,6 +54,7 @@ class PipelineConfig:
     tile_capacity: int = 1024
     max_tiles_per_gaussian: int = 128
     tile_batch: int = 128
+    spec_capacity: int = 4096        # speculation-block slots (grow mode)
 
 
 @dataclass

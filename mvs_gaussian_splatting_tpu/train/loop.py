@@ -16,8 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.scene import Scene
-from ..models.densify import DensifyConfig, densify_and_prune, reset_opacity
+from ..models.densify import (DensifyConfig, densify_and_prune,
+                              densify_and_prune_grow, reset_opacity)
 from ..models.gaussians import compact, init_from_pcd, num_alive, pad_capacity
+from ..models.grow import GrowConfig
 from ..ops.rasterize import RasterConfig
 from ..utils.losses import psnr
 from ..utils.system import seed_everything
@@ -72,6 +74,28 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
     eval_render = make_eval_render(raster_cfg)
+
+    grow_cfg = None
+    sphere_dirs = None
+    spec_step = None
+    if use_extras:
+        from ..utils.sphere import sphere_points
+        from .grow_step import make_spec_train_step
+        grow_cfg = GrowConfig(
+            grow_dir=model_cfg.grow_dir, continous_dir=model_cfg.continous_dir,
+            grow_distance=model_cfg.grow_distance,
+            learn_split_distance=model_cfg.learn_split_distance,
+            learn_split_scale=model_cfg.learn_split_scale,
+            num_dirs=model_cfg.num_dirs,
+            prob_notreinit=model_cfg.prob_notreinit,
+            split_notreinit=model_cfg.split_notreinit,
+            symmetric_split=model_cfg.symmetric_split)
+        if model_cfg.grow_dir:
+            sphere_dirs = sphere_points(model_cfg.num_dirs)
+        spec_size = pipe_cfg.spec_capacity
+        spec_step = make_spec_train_step(opt_cfg, raster_cfg, spatial_lr_scale,
+                                         grow_cfg, sphere_dirs, spec_size,
+                                         float(scene.cameras_extent))
     densify_cfg = DensifyConfig(
         grad_threshold=opt_cfg.densify_grad_threshold,
         min_opacity=opt_cfg.min_opacity,
@@ -80,6 +104,14 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     densify_jit = jax.jit(
         lambda p, m, n, a, k, gate: densify_and_prune(
             p, m, n, a, k, scene.cameras_extent, densify_cfg, gate))
+    densify_grow_jit = None
+    if use_extras and (model_cfg.grow_dir or model_cfg.continous_dir):
+        sd = (jnp.asarray(sphere_dirs, jnp.float32)
+              if sphere_dirs is not None else None)
+        densify_grow_jit = jax.jit(
+            lambda p, m, n, a, k, gate: densify_and_prune_grow(
+                p, m, n, a, k, scene.cameras_extent, densify_cfg,
+                grow_cfg, sd, gate))
     reset_jit = jax.jit(reset_opacity)
 
     bg_np = np.ones(3, np.float32) if model_cfg.white_background else np.zeros(3, np.float32)
@@ -107,11 +139,31 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
         gt = jnp.asarray(cam.image)
         do_stats = iteration < opt_cfg.densify_until_iter
-        params, adam, aux, metrics = train_step(
-            params, adam, aux, cam.view(), gt, bg_it,
-            jnp.int32(iteration), jnp.asarray(do_stats),
-            width=cam.image.shape[2], height=cam.image.shape[1],
-            sh_degree=active_sh)
+        # speculative grow/split render window (renderer :92-93, :186-196)
+        spec_now = False
+        if spec_step is not None:
+            grow_window = ((model_cfg.grow_dir or model_cfg.continous_dir)
+                           and iteration > (opt_cfg.densify_from_iter
+                                            - opt_cfg.densification_interval - 1)
+                           and iteration < opt_cfg.densify_until_iter
+                           and iteration > opt_cfg.opacity_reset_interval)
+            split_only = (not (model_cfg.grow_dir or model_cfg.continous_dir)
+                          and (model_cfg.learn_split_distance
+                               or model_cfg.learn_split_scale))
+            spec_now = grow_window or split_only
+        if spec_now:
+            key, sub = jax.random.split(key)
+            params, adam, aux, metrics = spec_step(
+                params, adam, aux, cam.view(), gt, bg_it,
+                jnp.int32(iteration), jnp.asarray(do_stats), sub,
+                width=cam.image.shape[2], height=cam.image.shape[1],
+                sh_degree=active_sh)
+        else:
+            params, adam, aux, metrics = train_step(
+                params, adam, aux, cam.view(), gt, bg_it,
+                jnp.int32(iteration), jnp.asarray(do_stats),
+                width=cam.image.shape[2], height=cam.image.shape[1],
+                sh_degree=active_sh)
 
         # ---- densification schedule (train.py:126-137) -------------------
         if iteration < opt_cfg.densify_until_iter:
@@ -129,7 +181,9 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                      nu=_pad_tree(adam.nu, new_cap))
                 key, sub = jax.random.split(key)
                 gate = iteration > opt_cfg.opacity_reset_interval
-                params, mu, nu, aux, info = densify_jit(
+                use_grow = densify_grow_jit is not None and gate
+                fn = densify_grow_jit if use_grow else densify_jit
+                params, mu, nu, aux, info = fn(
                     params, adam.mu, adam.nu, aux, sub, jnp.asarray(gate))
                 adam = adam._replace(mu=mu, nu=nu)
                 if int(info["n_dropped"]) > 0:

@@ -30,8 +30,11 @@ class AdamState(NamedTuple):
 
 
 def adam_init(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(count=jnp.zeros((), jnp.int32), mu=zeros, nu=zeros)
+    # mu and nu must be distinct buffers — sharing one zeros tree breaks
+    # donation (same buffer donated twice) in jitted steps.
+    return AdamState(count=jnp.zeros((), jnp.int32),
+                     mu=jax.tree.map(jnp.zeros_like, params),
+                     nu=jax.tree.map(jnp.zeros_like, params))
 
 
 def group_lrs(opt_cfg, step, spatial_lr_scale,
