@@ -16,6 +16,9 @@ from .args import build_parser, extract
 
 def main(argv=None):
     parser = build_parser("Training script parameters")
+    parser.add_argument("--ip", type=str, default="")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true")
     args = parser.parse_args(argv)
     model_cfg = extract(ModelConfig, args)
     opt_cfg = extract(OptimizationConfig, args)
@@ -26,6 +29,12 @@ def main(argv=None):
         model_cfg.model_path = f"./output/{str(uuid.uuid4())[:10]}"
     print(f"Optimizing {model_cfg.model_path}")
     seed_everything(run_cfg.seed)
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    if args.ip:
+        from ..viewer import network_gui
+        network_gui.init(args.ip, args.port)
     train(model_cfg, opt_cfg, pipe_cfg, run_cfg)
     print("\nTraining complete.")
 

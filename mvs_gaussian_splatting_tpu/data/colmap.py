@@ -52,6 +52,9 @@ def qvec2rotmat(q: np.ndarray) -> np.ndarray:
 
 
 def read_cameras_binary(path: str) -> Dict[int, CameraIntrinsics]:
+    native = _native_cameras(path)
+    if native is not None:
+        return native
     out = {}
     with open(path, "rb") as f:
         (num,) = struct.unpack("<Q", f.read(8))
@@ -64,6 +67,9 @@ def read_cameras_binary(path: str) -> Dict[int, CameraIntrinsics]:
 
 
 def read_images_binary(path: str) -> Dict[int, ImageExtrinsics]:
+    native = _native_images(path)
+    if native is not None:
+        return native
     out = {}
     with open(path, "rb") as f:
         (num,) = struct.unpack("<Q", f.read(8))
@@ -84,6 +90,9 @@ def read_images_binary(path: str) -> Dict[int, ImageExtrinsics]:
 
 def read_points3d_binary(path: str):
     """Returns (xyz [N,3] f64, rgb [N,3] u8, error [N,1] f64)."""
+    native = _native_points(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         (num,) = struct.unpack("<Q", f.read(8))
         blob = f.read()
@@ -176,3 +185,40 @@ def write_points3d_binary(xyz: np.ndarray, rgb: np.ndarray, path: str) -> None:
             f.write(np.asarray(rgb[i], dtype="u1").tobytes())
             f.write(struct.pack("<d", 0.0))
             f.write(struct.pack("<Q", 0))
+
+
+# ---- native fast path (mvs_gaussian_splatting_tpu/native, C++ via ctypes) --
+
+def _native_points(path: str):
+    try:
+        from .. import native
+        return native.read_points3d(path)
+    except Exception:
+        return None
+
+
+def _native_images(path: str):
+    try:
+        from .. import native
+        raw = native.read_images(path)
+        if raw is None:
+            return None
+        return {k: ImageExtrinsics(k, q, t, cid, name)
+                for k, (q, t, cid, name) in raw.items()}
+    except Exception:
+        return None
+
+
+def _native_cameras(path: str):
+    try:
+        from .. import native
+        raw = native.read_cameras(path)
+        if raw is None:
+            return None
+        out = {}
+        for k, (model_id, w, h, params) in raw.items():
+            name, n_params = CAMERA_MODELS[model_id]
+            out[k] = CameraIntrinsics(k, name, w, h, params[:n_params].copy())
+        return out
+    except Exception:
+        return None

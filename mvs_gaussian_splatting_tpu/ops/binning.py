@@ -75,3 +75,82 @@ def bin_gaussians(processed: Processed, tiles_x: int, tiles_y: int,
     return TileBins(gauss_idx=gauss_idx, valid=valid, counts=counts,
                     overflow_tiles=overflow_tiles,
                     overflow_capacity=overflow_capacity)
+
+
+class StreamBins(NamedTuple):
+    """Instance-stream layout: one packed instance list, CHUNK-aligned
+    per-tile regions (consumed by ops/pallas/stream.py)."""
+
+    inst_gauss: jnp.ndarray     # [CAP] int32 Gaussian index per instance slot
+    inst_valid: jnp.ndarray     # [CAP] bool
+    region_start: jnp.ndarray   # [T] int32, CHUNK-aligned region offsets
+    counts: jnp.ndarray         # [T] int32 valid instances per tile (clipped)
+    counts_raw: jnp.ndarray     # [T] int32 pre-clip intersection counts
+    overflow_tiles: jnp.ndarray
+    overflow_capacity: jnp.ndarray
+
+
+def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
+                         max_tiles_per_gaussian: int, cap: int,
+                         chunk: int = 128) -> StreamBins:
+    """Depth-presorted, single-key tile sort into aligned regions.
+
+    Gaussians are depth-sorted once (N entries), instances enumerated in that
+    order, then stably sorted by tile id alone — stability preserves depth
+    order within each tile, replacing the 2-key (tile, depth) sort with a
+    cheaper single-key sort. Per-tile segments are then laid into regions
+    rounded up to ``chunk`` so stream kernels get aligned DMA and conflict-
+    free gradient writes. All truncation is counted, never silent.
+    """
+    n = processed.xy.shape[0]
+    d = max_tiles_per_gaussian
+    num_tiles = tiles_x * tiles_y
+
+    depth_key = jnp.where(processed.mask, processed.depth, jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # [N]
+
+    rect_min = processed.rect_min[order]
+    rect_max = processed.rect_max[order]
+    mask_o = processed.mask[order]
+    span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
+    span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
+    area = jnp.where(mask_o, span_x * span_y, 0)
+
+    j = jnp.arange(d, dtype=jnp.int32)
+    span_x_safe = jnp.maximum(span_x, 1)
+    ty = rect_min[:, 1, None] + j[None, :] // span_x_safe[:, None]
+    tx = rect_min[:, 0, None] + j[None, :] % span_x_safe[:, None]
+    inst_valid = j[None, :] < jnp.minimum(area, d)[:, None]
+    tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
+
+    gauss_id = jnp.broadcast_to(order[:, None], (n, d))
+    sorted_tile, sorted_gauss = jax.lax.sort(
+        (tile_id.reshape(-1), gauss_id.reshape(-1)), num_keys=1,
+        is_stable=True)
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
+    seg_end = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
+    counts_raw = seg_end - seg_start
+
+    padded = ((counts_raw + chunk - 1) // chunk) * chunk
+    region_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    fits = region_start + padded <= cap
+    counts = jnp.where(fits, counts_raw, 0)
+    overflow_capacity = (counts_raw.sum() - counts.sum()).astype(jnp.int32)
+
+    q = jnp.arange(cap, dtype=jnp.int32)
+    t_q = (jnp.searchsorted(region_start, q, side="right") - 1).astype(jnp.int32)
+    t_qc = jnp.clip(t_q, 0, num_tiles - 1)
+    off = q - region_start[t_qc]
+    valid_q = off < counts[t_qc]
+    src = jnp.clip(seg_start[t_qc] + off, 0, n * d - 1)
+    inst_gauss = jnp.where(valid_q, sorted_gauss[src], 0)
+
+    return StreamBins(inst_gauss=inst_gauss, inst_valid=valid_q,
+                      region_start=region_start, counts=counts,
+                      counts_raw=counts_raw,
+                      overflow_tiles=overflow_tiles,
+                      overflow_capacity=overflow_capacity)

@@ -1,0 +1,322 @@
+"""Instance-stream Pallas composite: per-tile segments DMA'd from HBM.
+
+The performance architecture for the tile rasterizer (v2 of composite.py).
+Instead of gathering fixed-capacity [T, K] per-tile attribute tables (90%
+padding waste at typical loads — see profile in bench history), the binning
+stage lays all tile instances out in ONE packed attribute array of shape
+[16, CAP] (attribute rows × instances), with each tile's segment starting at
+a CHUNK-aligned region offset. Kernels stream their segment HBM→VMEM with
+double-buffered async DMA; per-entry validity is just a lane-index < count
+mask, so no valid array, no gather padding, and the backward writes per-
+instance gradients back to disjoint aligned regions with no conflicts.
+
+Attribute row layout (rows 9..15 padding for the 16-sublane DMA tile):
+  0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b
+
+Compositing semantics identical to composite.py (and the per-pixel oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .composite import _chunk_include, _cumsum_lanes
+
+CHUNK = 128
+ROWS = 16
+
+
+def _pixel_grid(tile_id, tiles_x: int, tile_w: int, tile_h: int, p: int):
+    tx = (tile_id % tiles_x).astype(jnp.float32)
+    ty = (tile_id // tiles_x).astype(jnp.float32)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tx * tile_w + (flat % tile_w).astype(jnp.float32)
+    py = ty * tile_h + (flat // tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_terms(buf, remaining, px, py):
+    """buf [ROWS, CK] attribute slab → alpha terms [P, CK]."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    vl = (lane < remaining).astype(jnp.float32)
+    xs, ys = buf[0:1, :], buf[1:2, :]
+    ca, cb, cc = buf[2:3, :], buf[3:4, :], buf[4:5, :]
+    op = buf[5:6, :]
+    dx = xs - px
+    dy = ys - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(power)
+    alpha = jnp.minimum(0.99, op * g)
+    contrib = (vl > 0) & (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    alpha = jnp.where(contrib, alpha, 0.0)
+    return dx, dy, g, alpha, contrib, (ca, cb, cc, op)
+
+
+def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
+                       out_ref, tfin_ref, buf, sem, *,
+                       tiles_x: int, tile_w: int, tile_h: int):
+    p = tile_w * tile_h
+    t = pl.program_id(0)
+    px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
+    start = start_ref[t]
+    count = count_ref[t]
+    n_chunks = (count + CHUNK - 1) // CHUNK
+
+    def dma(c, slot):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(state):
+        c, t_run, done, acc = state
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(c + 1, (c + 1) % 2).start()
+
+        dma(c, slot).wait()
+        _, _, _, alpha, contrib, _ = _chunk_terms(buf[slot], count - c * CHUNK,
+                                                  px, py)
+        include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
+        w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
+        rgb_t = buf[slot][6:9, :]                             # [3, CK]
+        acc = acc + jax.lax.dot_general(
+            w, rgb_t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [P, 3]
+        return c + 1, t_run, done, acc
+
+    def cond(state):
+        c, t_run, _, _ = state
+        return (c < n_chunks) & (jnp.max(t_run) >= 1e-4)
+
+    init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 3), jnp.float32))
+    c_end, t_fin, _, acc = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the prefetched next chunk's DMA in flight — drain it
+    # or the semaphore state corrupts the next grid step.
+    @pl.when(c_end < n_chunks)
+    def _():
+        dma(c_end, c_end % 2).wait()
+
+    out_ref[0, :, :] = acc + t_fin * bg_ref[:, :]
+    tfin_ref[0, :, :] = t_fin.reshape(1, p)
+
+
+def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
+                       tfin_ref, gout_ref, gtfin_ref, gattrs_ref,
+                       buf, gbuf, sem, gsem, *,
+                       tiles_x: int, tile_w: int, tile_h: int):
+    p = tile_w * tile_h
+    t = pl.program_id(0)
+    px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
+    start = start_ref[t]
+    count = count_ref[t]
+    n_chunks = (count + CHUNK - 1) // CHUNK
+
+    g_out = gout_ref[0, :, :]                     # [P, 3]
+    t_fin = tfin_ref[0, :, :].reshape(p, 1)
+    bg = bg_ref[:, :]
+    out_sav = out_ref[0, :, :]
+    g_tfin_ext = gtfin_ref[0, :, :].reshape(p, 1)
+    g_dot_out = jnp.sum(g_out * out_sav, axis=1, keepdims=True)
+
+    def dma_in(c, slot):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot], sem.at[slot])
+
+    def dma_out(c, slot):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            gattrs_ref.at[:, pl.ds(off, CHUNK)],
+            gsem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body(c, state):
+        t_run, done, prefix = state
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma_in(c + 1, (c + 1) % 2).start()
+
+        dma_in(c, slot).wait()
+        # wait for the gbuf slot's previous write-out before overwriting
+        @pl.when(c >= 2)
+        def _():
+            dma_out(c - 2, slot).wait()
+
+        dx, dy, g, alpha, contrib, (ca, cb, cc, op) = _chunk_terms(
+            buf[slot], count - c * CHUNK, px, py)
+        include, t_excl, t_new, done_new = _chunk_include(alpha, contrib,
+                                                          t_run, done)
+        w = jnp.where(include, alpha * t_excl, 0.0)
+        rgb_t = buf[slot][6:9, :]                              # [3, CK]
+
+        # dL/drgb: [3, CK] = g_outᵀ [3, P] @ w [P, CK]
+        g_rgb = jax.lax.dot_general(
+            g_out, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # Σ_c g_c rgb_k,c  [P, CK]
+        g_dot_rgb = jax.lax.dot_general(
+            g_out, rgb_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        one_minus = jnp.where(include, 1.0 - alpha, 1.0)
+        wg = w * g_dot_rgb
+        cums = _cumsum_lanes(wg, strict=False) + prefix
+        g_dot_S = g_dot_out - cums
+        dalpha = jnp.where(
+            include,
+            g_dot_rgb * t_excl - g_dot_S / one_minus
+            - g_tfin_ext * t_fin / one_minus,
+            0.0)
+        not_clamped = (op * g) < 0.99
+        dop = jnp.where(not_clamped, dalpha * g, 0.0)
+        dpower = dalpha * jnp.where(not_clamped, op, 0.0) * g
+        dxp = dpower * (-(ca * dx + cb * dy))
+        dyp = dpower * (-(cc * dy + cb * dx))
+        dca = dpower * (-0.5 * dx * dx)
+        dcb = dpower * (-dx * dy)
+        dcc = dpower * (-0.5 * dy * dy)
+
+        gbuf[slot, 0:1, :] = jnp.sum(dxp, axis=0, keepdims=True)
+        gbuf[slot, 1:2, :] = jnp.sum(dyp, axis=0, keepdims=True)
+        gbuf[slot, 2:3, :] = jnp.sum(dca, axis=0, keepdims=True)
+        gbuf[slot, 3:4, :] = jnp.sum(dcb, axis=0, keepdims=True)
+        gbuf[slot, 4:5, :] = jnp.sum(dcc, axis=0, keepdims=True)
+        gbuf[slot, 5:6, :] = jnp.sum(dop, axis=0, keepdims=True)
+        gbuf[slot, 6:9, :] = g_rgb
+        gbuf[slot, 9:, :] = jnp.zeros((ROWS - 9, CHUNK), jnp.float32)
+        dma_out(c, slot).start()
+
+        return t_new, done_new, cums[:, -1:]
+
+    init = (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # drain outstanding gradient writes
+    @pl.when(n_chunks >= 2)
+    def _():
+        dma_out(n_chunks - 2, (n_chunks - 2) % 2).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        dma_out(n_chunks - 1, (n_chunks - 1) % 2).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite_stream(attrs, region_start, counts, bg,
+                     tiles_x: int, tile_w: int, tile_h: int,
+                     interpret: bool = False):
+    """attrs [16, CAP] packed rows; region_start/counts [T] (CHUNK-aligned
+    regions); bg [3] → (out [T, P, 3], final_T [T, P])."""
+    return _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x, tile_w,
+                            tile_h, interpret)
+
+
+def _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x, tile_w, tile_h,
+                     interpret):
+    t = region_start.shape[0]
+    p = tile_w * tile_h
+    kernel = functools.partial(_stream_fwd_kernel, tiles_x=tiles_x,
+                               tile_w=tile_w, tile_h=tile_h)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # attrs stay in HBM
+            pl.BlockSpec((1, 3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, tfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(region_start, counts, attrs, bg.reshape(1, 3))
+    return out, tfin.reshape(t, p)
+
+
+def _stream_vjp_fwd(attrs, region_start, counts, bg, tiles_x, tile_w, tile_h,
+                    interpret):
+    out, tfin = _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x,
+                                 tile_w, tile_h, interpret)
+    return (out, tfin), (attrs, region_start, counts, bg, out, tfin)
+
+
+def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
+    attrs, region_start, counts, bg, out, tfin = res
+    g_out, g_tfin = cts
+    t = region_start.shape[0]
+    p = tile_w * tile_h
+    kernel = functools.partial(_stream_bwd_kernel, tiles_x=tiles_x,
+                               tile_w=tile_w, tile_h=tile_h)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # attrs (HBM)
+            pl.BlockSpec((1, 3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),    # saved out
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),    # saved tfin
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),    # g_out
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),    # g_tfin
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],   # gattrs (HBM)
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    cap = attrs.shape[1]
+    (gattrs,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, cap), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(region_start, counts, attrs, bg.reshape(1, 3), out,
+      tfin.reshape(t, 1, p), g_out, g_tfin.reshape(t, 1, p))
+    g_bg = jnp.einsum("tpc,tp->c", g_out, tfin)
+    return (gattrs, None, None, g_bg)
+
+
+composite_stream.defvjp(_stream_vjp_fwd, _stream_vjp_bwd)

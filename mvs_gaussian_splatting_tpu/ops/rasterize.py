@@ -31,7 +31,8 @@ class RasterConfig(NamedTuple):
     max_tiles_per_gaussian: int = 64
     tile_capacity: int = 512
     tile_batch: int = 64
-    backend: str = "auto"  # "jnp" | "pallas" | "auto"
+    backend: str = "auto"  # "jnp" | "pallas" | "stream" | "auto"
+    instance_cap: int = 1 << 21  # stream backend: packed instance slots
 
 
 def _tile_pixel_grid(tile_ids, tiles_x: int, tile_w: int, tile_h: int):
@@ -76,6 +77,63 @@ def composite_tiles_jnp(xy, conic, rgb, opacity, valid, tile_ids,
     return out, final_T
 
 
+def _rasterize_stream(processed: Processed, image_width: int,
+                      image_height: int, bg_color, config: RasterConfig,
+                      tiles_x: int, tiles_y: int, interpret: bool = False):
+    """Instance-stream path: single packed attribute array + segment kernels.
+
+    See ops/pallas/stream.py for the layout. Gradients flow through the
+    row-packing gather (its transpose is the per-instance scatter-add back to
+    Gaussians); the kernel's custom VJP emits per-instance gradients.
+    """
+    from .binning import bin_instances_stream
+    from .pallas.stream import ROWS, composite_stream
+
+    tile_w, tile_h = config.tile_w, config.tile_h
+    num_tiles = tiles_x * tiles_y
+    bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
+                                tiles_y, config.max_tiles_per_gaussian,
+                                config.instance_cap)
+    ig = bins.inst_gauss
+    v = bins.inst_valid
+    # Every row gated by validity: the forward mask is redundant (kernels mask
+    # by count) but the where() transpose keeps uninitialized gradient memory
+    # in out-of-region columns from scatter-adding into Gaussian 0.
+    rows = jnp.stack([
+        jnp.where(v, processed.xy[ig, 0], 0.0),
+        jnp.where(v, processed.xy[ig, 1], 0.0),
+        jnp.where(v, processed.conic[ig, 0], 0.0),
+        jnp.where(v, processed.conic[ig, 1], 0.0),
+        jnp.where(v, processed.conic[ig, 2], 0.0),
+        jnp.where(v, processed.opacity[ig], 0.0),
+        jnp.where(v, processed.rgb[ig, 0], 0.0),
+        jnp.where(v, processed.rgb[ig, 1], 0.0),
+        jnp.where(v, processed.rgb[ig, 2], 0.0),
+    ], axis=0)                                        # [9, CAP]
+    attrs = jnp.concatenate(
+        [rows, jnp.zeros((ROWS - rows.shape[0], rows.shape[1]))], axis=0)
+
+    tiles_out, final_T = composite_stream(
+        attrs, bins.region_start, bins.counts, bg_color,
+        tiles_x, tile_w, tile_h, interpret)
+    tiles_out = tiles_out.transpose(0, 2, 1)          # [T, 3, P]
+
+    image = _assemble_image(tiles_out, tiles_x, tiles_y, tile_w, tile_h,
+                            image_width, image_height)
+    final_T_img = _assemble_image(
+        jnp.broadcast_to(final_T[:, None, :],
+                         (num_tiles, 3, tile_h * tile_w)),
+        tiles_x, tiles_y, tile_w, tile_h, image_width, image_height)[0]
+    aux = {
+        "radii": processed.radius,
+        "final_T": final_T_img,
+        "overflow_tiles": bins.overflow_tiles,
+        "overflow_capacity": bins.overflow_capacity,
+        "tile_counts": bins.counts_raw,
+    }
+    return image, aux
+
+
 def _assemble_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int,
                     tile_w: int, tile_h: int, width: int, height: int):
     """[T, 3, P] per-tile images → [3, H, W]."""
@@ -96,6 +154,14 @@ def rasterize(processed: Processed, image_width: int, image_height: int,
     tiles_y = -(-image_height // tile_h)
     num_tiles = tiles_x * tiles_y
 
+    backend = config.backend
+    if backend == "auto":
+        backend = "stream" if jax.default_backend() == "tpu" else "jnp"
+
+    if backend == "stream":
+        return _rasterize_stream(processed, image_width, image_height,
+                                 bg_color, config, tiles_x, tiles_y)
+
     if bins is None:
         bins = bin_gaussians(jax.lax.stop_gradient(processed), tiles_x, tiles_y,
                              config.max_tiles_per_gaussian, config.tile_capacity)
@@ -107,10 +173,6 @@ def rasterize(processed: Processed, image_width: int, image_height: int,
     g_rgb = processed.rgb[idx]
     g_op = processed.opacity[idx]
     g_valid = bins.valid
-
-    backend = config.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
     if backend == "pallas":
         from .pallas.composite import composite_tiles_pallas

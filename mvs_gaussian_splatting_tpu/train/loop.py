@@ -118,12 +118,15 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     bg = jnp.asarray(bg_np)
     key = jax.random.PRNGKey(run_cfg.seed + 1)
 
+    tb_writer = _make_tb_writer(model_cfg.model_path)
     viewpoint_stack: list = []
     history = {"loss": [], "psnr_test": {}, "n_alive": {}, "iter_time": []}
     ema_loss = 0.0
     t_last = time.perf_counter()
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        _gui_pump(model_cfg, params, aux, raster_cfg, active_sh, iteration,
+                  opt_cfg.iterations)
         if iteration % 1000 == 0 and active_sh < model_cfg.sh_degree:
             active_sh += 1
 
@@ -204,6 +207,12 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             t_last = now
             history["loss"].append((iteration, loss))
             history["iter_time"].append((iteration, it_s))
+            if tb_writer is not None:
+                tb_writer.add_scalar("train_loss_patches/l1_loss",
+                                     float(metrics.l1), iteration)
+                tb_writer.add_scalar("train_loss_patches/total_loss", loss,
+                                     iteration)
+                tb_writer.add_scalar("iter_time", 1000.0 / it_s, iteration)
         if iteration % 500 == 0:
             log_fn(f"[ITER {iteration}] loss {ema_loss:.5f} "
                    f"alive {int(num_alive(aux))} "
@@ -221,6 +230,10 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             history["psnr_test"][iteration] = ps
             history["n_alive"][iteration] = int(num_alive(aux))
             log_fn(f"[ITER {iteration}] Evaluating test: PSNR {ps:.2f}")
+            if tb_writer is not None:
+                tb_writer.add_scalar("test/loss_viewpoint - psnr", ps, iteration)
+                tb_writer.add_scalar("total_points", int(num_alive(aux)),
+                                     iteration)
 
         if iteration in run_cfg.save_iterations and model_cfg.model_path:
             log_fn(f"[ITER {iteration}] Saving Gaussians")
@@ -250,3 +263,50 @@ def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree) -> float:
         gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
         vals.append(float(psnr(img, gt)[0]))
     return float(np.mean(vals))
+
+
+def _make_tb_writer(model_path: str):
+    """TensorBoard writer via tensorboardX, optional like the reference
+    (train.py:25-29, 176-181)."""
+    if not model_path:
+        return None
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+        return None
+
+
+_GUI_RENDER = None
+
+
+def _gui_pump(model_cfg, params, aux, raster_cfg, sh_degree, iteration,
+              max_iterations):
+    """Network-viewer pump, once per iteration (train.py:55-68). No-op until
+    viewer.network_gui.init() has been called by the CLI."""
+    from ..viewer import network_gui
+    if network_gui.listener is None:
+        return
+    global _GUI_RENDER
+    if network_gui.conn is None:
+        network_gui.try_connect()
+    while network_gui.conn is not None:
+        try:
+            net_image_bytes = None
+            (custom_cam, do_training, _shs_py, _cov_py, keep_alive,
+             scaling_modifier) = network_gui.receive()
+            if custom_cam is not None:
+                from ..ops.render import render as render_fn
+                bg = (jnp.ones(3) if model_cfg.white_background else jnp.zeros(3))
+                out = render_fn(custom_cam.view(), custom_cam.image_width,
+                                custom_cam.image_height, params, bg,
+                                sh_degree=sh_degree, alive=aux.alive,
+                                scale_modifier=scaling_modifier,
+                                raster_config=raster_cfg)
+                net_image_bytes = network_gui.render_to_bytes(out["render"])
+            network_gui.send(net_image_bytes, model_cfg.source_path)
+            if do_training and (iteration < max_iterations or not keep_alive):
+                break
+        except Exception:
+            network_gui.conn = None

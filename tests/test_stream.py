@@ -1,0 +1,135 @@
+"""Instance-stream rasterizer conformance: stream backend (interpret mode)
+vs the jnp tiled path — image, final_T, and full parameter gradients."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvs_gaussian_splatting_tpu.ops import CameraView, preprocess
+from mvs_gaussian_splatting_tpu.ops.binning import bin_instances_stream
+from mvs_gaussian_splatting_tpu.ops.rasterize import (RasterConfig,
+                                                      _rasterize_stream,
+                                                      rasterize)
+from mvs_gaussian_splatting_tpu.utils import graphics
+
+W, H = 64, 48
+TILES_X, TILES_Y = W // 16, H // 16
+
+
+def make_inputs(n=100, seed=0):
+    fovx = math.radians(60.0)
+    fovy = graphics.focal2fov(graphics.fov2focal(fovx, W), H)
+    P = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
+    cam = CameraView(jnp.eye(4), jnp.asarray(P), jnp.zeros(3),
+                     jnp.float32(math.tan(fovx / 2)),
+                     jnp.float32(math.tan(fovy / 2)))
+    rng = np.random.RandomState(seed)
+    z = rng.uniform(2, 6, n)
+    means = np.stack([rng.uniform(-0.8, 0.8, n) * z,
+                      rng.uniform(-0.6, 0.6, n) * z, z], -1).astype(np.float32)
+    return cam, (jnp.asarray(means),
+                 jnp.asarray(rng.uniform(0.05, 0.3, (n, 3)).astype(np.float32)),
+                 jnp.asarray(rng.randn(n, 4).astype(np.float32)),
+                 jnp.asarray(rng.uniform(0.3, 0.97, n).astype(np.float32)),
+                 jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)))
+
+
+def render(cam, args, backend, bg):
+    means, scales, quats, opac, colors = args
+    p = preprocess(means, opac, cam, W, H, scales=scales, rotations=quats,
+                   colors_precomp=colors)
+    if backend == "stream":
+        return _rasterize_stream(p, W, H, bg,
+                                 RasterConfig(instance_cap=1 << 14),
+                                 TILES_X, TILES_Y, interpret=True)
+    return rasterize(p, W, H, bg, RasterConfig(tile_capacity=256,
+                                               backend="jnp"))
+
+
+class TestStreamBinning:
+    def test_counts_match_padded_binning(self):
+        cam, args = make_inputs()
+        means, scales, quats, opac, colors = args
+        p = preprocess(means, opac, cam, W, H, scales=scales, rotations=quats,
+                       colors_precomp=colors)
+        from mvs_gaussian_splatting_tpu.ops.binning import bin_gaussians
+        bins_old = bin_gaussians(p, TILES_X, TILES_Y, 64, 512)
+        bins_new = bin_instances_stream(p, TILES_X, TILES_Y, 64, 1 << 14)
+        np.testing.assert_array_equal(np.asarray(bins_new.counts_raw),
+                                      np.asarray(bins_old.counts))
+
+    def test_regions_aligned_and_depth_sorted(self):
+        cam, args = make_inputs()
+        means, scales, quats, opac, colors = args
+        p = preprocess(means, opac, cam, W, H, scales=scales, rotations=quats,
+                       colors_precomp=colors)
+        bins = bin_instances_stream(p, TILES_X, TILES_Y, 64, 1 << 14)
+        rs = np.asarray(bins.region_start)
+        assert (rs % 128 == 0).all()
+        depth = np.asarray(p.depth)
+        ig = np.asarray(bins.inst_gauss)
+        valid = np.asarray(bins.inst_valid)
+        counts = np.asarray(bins.counts)
+        for t in range(TILES_X * TILES_Y):
+            seg = ig[rs[t]:rs[t] + counts[t]]
+            assert valid[rs[t]:rs[t] + counts[t]].all()
+            d = depth[seg]
+            assert (np.diff(d) >= 0).all(), f"tile {t} not depth sorted"
+
+    def test_overflow_counted(self):
+        cam, args = make_inputs(n=200)
+        means, scales, quats, opac, colors = args
+        p = preprocess(means, opac, cam, W, H, scales=scales, rotations=quats,
+                       colors_precomp=colors)
+        bins = bin_instances_stream(p, TILES_X, TILES_Y, 64, 256)  # tiny cap
+        assert int(bins.overflow_capacity) > 0
+
+
+class TestStreamComposite:
+    def test_forward_parity(self):
+        cam, args = make_inputs()
+        bg = jnp.array([0.3, 0.1, 0.7])
+        img_ref, aux_ref = render(cam, args, "jnp", bg)
+        img_st, aux_st = render(cam, args, "stream", bg)
+        assert int(aux_st["overflow_capacity"]) == 0
+        np.testing.assert_allclose(np.asarray(img_st), np.asarray(img_ref),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(aux_st["final_T"]),
+                                   np.asarray(aux_ref["final_T"]), atol=2e-5)
+
+    def test_gradient_parity(self):
+        cam, args = make_inputs(n=60, seed=3)
+        bg = jnp.array([0.2, 0.5, 0.8])
+        rng = np.random.RandomState(9)
+        wimg = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+
+        def loss(backend):
+            def f(means, scales, quats, opac, colors):
+                img, _ = render(cam, (means, scales, quats, opac, colors),
+                                backend, bg)
+                return (img * wimg).sum()
+            return f
+
+        g_ref = jax.grad(loss("jnp"), argnums=(0, 1, 2, 3, 4))(*args)
+        g_st = jax.grad(loss("stream"), argnums=(0, 1, 2, 3, 4))(*args)
+        for name, a, b in zip(("means", "scales", "quats", "opac", "colors"),
+                              g_ref, g_st):
+            scale = max(float(jnp.abs(a).max()), 1e-3)
+            np.testing.assert_allclose(np.asarray(b) / scale,
+                                       np.asarray(a) / scale,
+                                       atol=2e-5, err_msg=name)
+
+    def test_early_termination(self):
+        cam, args = make_inputs(n=150, seed=5)
+        means, scales, quats, opac, colors = args
+        opac = jnp.minimum(opac * 3, 0.995)
+        bg = jnp.zeros(3)
+        img_ref, _ = render(cam, (means, scales, quats, opac, colors), "jnp", bg)
+        img_st, aux = render(cam, (means, scales, quats, opac, colors),
+                             "stream", bg)
+        assert float(aux["final_T"].min()) < 1e-3
+        np.testing.assert_allclose(np.asarray(img_st), np.asarray(img_ref),
+                                   atol=2e-5, rtol=1e-4)
