@@ -141,8 +141,13 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     counts = jnp.where(fits, counts_raw, 0)
     overflow_capacity = (counts_raw.sum() - counts.sum()).astype(jnp.int32)
 
+    # region id per packed slot via cumsum of region-boundary marks (a
+    # searchsorted over 8160 starts per slot is 26M scalar gathers — slow on
+    # TPU; one scatter + cumsum is bandwidth-speed).
     q = jnp.arange(cap, dtype=jnp.int32)
-    t_q = (jnp.searchsorted(region_start, q, side="right") - 1).astype(jnp.int32)
+    marks = jnp.zeros(cap, jnp.int32).at[region_start[1:]].add(
+        1, mode="drop")
+    t_q = jnp.cumsum(marks)
     t_qc = jnp.clip(t_q, 0, num_tiles - 1)
     off = q - region_start[t_qc]
     valid_q = off < counts[t_qc]
