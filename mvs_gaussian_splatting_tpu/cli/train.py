@@ -19,6 +19,9 @@ def main(argv=None):
     parser.add_argument("--ip", type=str, default="")
     parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of iterations "
+                             "100-120 into this directory")
     args = parser.parse_args(argv)
     model_cfg = extract(ModelConfig, args)
     opt_cfg = extract(OptimizationConfig, args)
@@ -35,6 +38,9 @@ def main(argv=None):
     if args.ip:
         from ..viewer import network_gui
         network_gui.init(args.ip, args.port)
+    if args.profile_dir:
+        from ..train import loop as loop_mod
+        loop_mod.PROFILE_DIR = args.profile_dir
     train(model_cfg, opt_cfg, pipe_cfg, run_cfg)
     print("\nTraining complete.")
 

@@ -109,9 +109,14 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     depth_key = jnp.where(processed.mask, processed.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # [N]
 
-    rect_min = processed.rect_min[order]
-    rect_max = processed.rect_max[order]
-    mask_o = processed.mask[order]
+    # one row-gather for all rect data (scalar gathers are slow on TPU)
+    rect_table = jnp.concatenate(
+        [processed.rect_min, processed.rect_max,
+         processed.mask[:, None].astype(jnp.int32)], axis=1)       # [N, 5]
+    rect_o = rect_table[order]
+    rect_min = rect_o[:, 0:2]
+    rect_max = rect_o[:, 2:4]
+    mask_o = rect_o[:, 4] > 0
     span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
     span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
     area = jnp.where(mask_o, span_x * span_y, 0)

@@ -59,7 +59,27 @@ def _tri_ones(ck: int, strict: bool):
 def _cumsum_lanes(x, strict: bool):
     """Prefix sum along the lane axis of [P, CK] via triangular matmul."""
     return jnp.dot(x, _tri_ones(x.shape[1], strict),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+def _cumprod_lanes(x):
+    """(inclusive, exclusive) prefix products along lanes, exact in f32.
+
+    Hillis-Steele scan (log2(CK) shifted multiplies on the VPU) — a log-space
+    matmul version costs ~1e-6 relative error, which is enough to flip the
+    1e-4 termination threshold on borderline entries and break bit-parity
+    with the jnp oracle. (jnp.cumprod/jnp.prod have no Mosaic lowering.)
+    """
+    ck = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = x
+    s = 1
+    while s < ck:
+        y = y * jnp.where(lane >= s, jnp.roll(y, s, axis=1), 1.0)
+        s *= 2
+    excl = jnp.where(lane >= 1, jnp.roll(y, 1, axis=1), 1.0)
+    return y, excl
 
 
 def _chunk_include(alpha, contrib, t_run, done_in):
@@ -67,17 +87,16 @@ def _chunk_include(alpha, contrib, t_run, done_in):
 
     alpha, contrib: [P, CK]; t_run, done_in: [P, 1].
     Returns (include [P,CK], t_excl [P,CK], t_out [P,1], done_out [P,1]).
-    Cumulative products run in log space (α ≤ 0.99 ⇒ 1−α ≥ 0.01, well inside
-    log1p's stable range).
     """
-    log_om = jnp.where(contrib, jnp.log1p(-alpha), 0.0)
     one_minus = jnp.where(contrib, 1.0 - alpha, 1.0)
-    t_excl = t_run * jnp.exp(_cumsum_lanes(log_om, strict=True))
+    _, excl = _cumprod_lanes(one_minus)
+    t_excl = t_run * excl
     fail = contrib & (t_excl * one_minus < 1e-4)
+    # 0/1 sums up to CK=128 are exact even at reduced matmul precision
     prior_fail = _cumsum_lanes(fail.astype(jnp.float32), strict=True)
     include = contrib & (prior_fail == 0.0) & ~fail & ~(done_in > 0)
-    t_out = t_run * jnp.exp(
-        jnp.sum(jnp.where(include, log_om, 0.0), axis=1, keepdims=True))
+    incl_masked, _ = _cumprod_lanes(jnp.where(include, one_minus, 1.0))
+    t_out = t_run * incl_masked[:, -1:]
     done_out = jnp.maximum(done_in,
                            jnp.max(fail.astype(jnp.float32), axis=1,
                                    keepdims=True))
@@ -118,7 +137,8 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb = rgb_ref[0, pl.ds(o, CHUNK), :]                  # [CK, 3]
-        acc = acc + jnp.dot(w, rgb, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(w, rgb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return c + 1, t_run, done, acc
 
     def cond(state):
@@ -171,7 +191,8 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
 
         # dL/drgb_k = Σ_p g_out[p,:]·w[p,k]  → [CK, 3] matmul
         grgb_ref[0, pl.ds(o, CHUNK), :] += jnp.dot(
-            w.T, g_out, preferred_element_type=jnp.float32)
+            w.T, g_out, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         # per-entry prefix of the accumulated color INCLUDING this entry:
         # prefix_after_k[p,c] = prefix_in + Σ_{j<=k in chunk} w_j rgb_j,c
@@ -179,7 +200,8 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         # dL/dα_k = Σ_c g_c (rgb_k,c T_k − S'_k,c/(1−α_k)) − gT·T_fin/(1−α_k)
         one_minus = jnp.where(include, 1.0 - alpha, 1.0)
         # Σ_c g_c·rgb_k,c : [P,CK] via matmul g_out [P,3] @ rgb.T [3,CK]
-        g_dot_rgb = jnp.dot(g_out, rgb.T, preferred_element_type=jnp.float32)
+        g_dot_rgb = jnp.dot(g_out, rgb.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         # per-channel prefix must stay per-channel for S'·g contraction:
         # Σ_c g_c S'_k,c = Σ_c g_c out_c − Σ_c g_c prefix_after_k,c.
         # prefix_after contraction: running scalar prefix of w_j (g·rgb_j):

@@ -94,7 +94,8 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         rgb_t = buf[slot][6:9, :]                             # [3, CK]
         acc = acc + jax.lax.dot_general(
             w, rgb_t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [P, 3]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # [P, 3]
         return c + 1, t_run, done, acc
 
     def cond(state):
@@ -174,11 +175,13 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
         # dL/drgb: [3, CK] = g_outᵀ [3, P] @ w [P, CK]
         g_rgb = jax.lax.dot_general(
             g_out, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         # Σ_c g_c rgb_k,c  [P, CK]
         g_dot_rgb = jax.lax.dot_general(
             g_out, rgb_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         one_minus = jnp.where(include, 1.0 - alpha, 1.0)
         wg = w * g_dot_rgb
         cums = _cumsum_lanes(wg, strict=False) + prefix

@@ -30,6 +30,10 @@ from .optim import AdamState, adam_init
 from .step import make_eval_render, make_train_step
 
 
+PROFILE_DIR = ""       # set by the CLI --profile_dir flag
+_PROFILE_WINDOW = (100, 120)
+
+
 def raster_config_from_pipe(pipe: PipelineConfig) -> RasterConfig:
     return RasterConfig(backend=pipe.backend,
                         tile_capacity=pipe.tile_capacity,
@@ -125,6 +129,11 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     t_last = time.perf_counter()
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        if PROFILE_DIR and iteration == _PROFILE_WINDOW[0]:
+            jax.profiler.start_trace(PROFILE_DIR)
+        if PROFILE_DIR and iteration == _PROFILE_WINDOW[1]:
+            jax.profiler.stop_trace()
+            log_fn(f"[ITER {iteration}] profiler trace written to {PROFILE_DIR}")
         _gui_pump(model_cfg, params, aux, raster_cfg, active_sh, iteration,
                   opt_cfg.iterations)
         if iteration % 1000 == 0 and active_sh < model_cfg.sh_degree:
