@@ -121,8 +121,9 @@ def _split_into_free(params, mu, nu, alive, sel_split, key, free_idx, n_free,
         noise2 = (-noise1 if symmetric_split
                   else jax.random.normal(k2, (capacity, 3)) * scal)
     R = quat_to_rotmat(params.rotation)
-    off1 = jnp.einsum("cij,cj->ci", R, noise1)
-    off2 = jnp.einsum("cij,cj->ci", R, noise2)
+    hp = jax.lax.Precision.HIGHEST
+    off1 = jnp.einsum("cij,cj->ci", R, noise1, precision=hp)
+    off2 = jnp.einsum("cij,cj->ci", R, noise2, precision=hp)
     div = scale_div if scale_div is not None else 1.6
     new_scaling = jnp.log(scal / div)
 

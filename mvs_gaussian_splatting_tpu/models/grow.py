@@ -57,7 +57,8 @@ def grow_offsets(params: GaussianParams, sphere_dirs: Optional[jnp.ndarray],
     direction × max-scale × learned distance (render grow branch :99-111)."""
     if cfg.grow_dir:
         one_hot = straight_through_argmax(params.dirs_prob)
-        dirs = one_hot @ sphere_dirs                       # [C, 3]
+        dirs = jnp.dot(one_hot, sphere_dirs,
+                       precision=jax.lax.Precision.HIGHEST)    # [C, 3]
     elif cfg.continous_dir:
         dirs = normalize(params.conti_dirs)
     else:

@@ -22,7 +22,10 @@ def mean_sq_dist_to_knn(points: jnp.ndarray, k: int = 3,
 
     def body(qc):
         # [C, N] squared distances via the expanded form (one matmul).
-        d2 = ((qc * qc).sum(-1)[:, None] - 2.0 * qc @ points.T + sq[None, :])
+        d2 = ((qc * qc).sum(-1)[:, None]
+              - 2.0 * jnp.dot(qc, points.T,
+                              precision=jax.lax.Precision.HIGHEST)
+              + sq[None, :])
         # top-(k+1) smallest includes self (distance ~0); drop the smallest.
         neg_top, _ = jax.lax.top_k(-d2, k + 1)
         d2k = -neg_top[:, 1:]

@@ -57,10 +57,21 @@ def _tri_ones(ck: int, strict: bool):
 
 
 def _cumsum_lanes(x, strict: bool):
-    """Prefix sum along the lane axis of [P, CK] via triangular matmul."""
-    return jnp.dot(x, _tri_ones(x.shape[1], strict),
-                   preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+    """Prefix sum along the lane axis of [P, CK], exact f32 Hillis-Steele.
+
+    (A triangular MXU matmul is shorter but Mosaic rounds matmul inputs to
+    bf16 regardless of the precision flag — measured ~1e-3 relative error.)
+    """
+    ck = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = x
+    s = 1
+    while s < ck:
+        y = y + jnp.where(lane >= s, jnp.roll(y, s, axis=1), 0.0)
+        s *= 2
+    if strict:
+        return jnp.where(lane >= 1, jnp.roll(y, 1, axis=1), 0.0)
+    return y
 
 
 def _cumprod_lanes(x):
@@ -137,8 +148,11 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb = rgb_ref[0, pl.ds(o, CHUNK), :]                  # [CK, 3]
-        acc = acc + jnp.dot(w, rgb, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # VPU multiply-reduce per channel: exact f32 (Mosaic matmuls round
+        # inputs to bf16) and the MXU is ~2% utilized at N=3 anyway.
+        acc = acc + jnp.concatenate(
+            [jnp.sum(w * rgb[:, c].reshape(1, CHUNK), axis=1, keepdims=True)
+             for c in range(3)], axis=1)
         return c + 1, t_run, done, acc
 
     def cond(state):
@@ -189,19 +203,20 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb = rgb_ref[0, pl.ds(o, CHUNK), :]                  # [CK, 3]
 
-        # dL/drgb_k = Σ_p g_out[p,:]·w[p,k]  → [CK, 3] matmul
-        grgb_ref[0, pl.ds(o, CHUNK), :] += jnp.dot(
-            w.T, g_out, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # dL/drgb_k = Σ_p g_out[p,c]·w[p,k], per channel on the VPU
+        grgb_ref[0, pl.ds(o, CHUNK), :] += jnp.concatenate(
+            [jnp.sum(g_out[:, c].reshape(p, 1) * w, axis=0,
+                     keepdims=True).reshape(CHUNK, 1) for c in range(3)],
+            axis=1)
 
         # per-entry prefix of the accumulated color INCLUDING this entry:
         # prefix_after_k[p,c] = prefix_in + Σ_{j<=k in chunk} w_j rgb_j,c
         # needed residual: S'_k = out − prefix_after_k (per channel).
         # dL/dα_k = Σ_c g_c (rgb_k,c T_k − S'_k,c/(1−α_k)) − gT·T_fin/(1−α_k)
         one_minus = jnp.where(include, 1.0 - alpha, 1.0)
-        # Σ_c g_c·rgb_k,c : [P,CK] via matmul g_out [P,3] @ rgb.T [3,CK]
-        g_dot_rgb = jnp.dot(g_out, rgb.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # Σ_c g_c·rgb_k,c accumulated per channel on the VPU
+        g_dot_rgb = sum(g_out[:, c].reshape(p, 1) * rgb[:, c].reshape(1, CHUNK)
+                        for c in range(3))
         # per-channel prefix must stay per-channel for S'·g contraction:
         # Σ_c g_c S'_k,c = Σ_c g_c out_c − Σ_c g_c prefix_after_k,c.
         # prefix_after contraction: running scalar prefix of w_j (g·rgb_j):

@@ -30,6 +30,7 @@ from .composite import _chunk_include, _cumsum_lanes
 
 CHUNK = 128
 ROWS = 16
+PREFETCH = True  # double-buffered DMA prefetch (module flag for debugging)
 
 
 def _pixel_grid(tile_id, tiles_x: int, tile_w: int, tile_h: int, p: int):
@@ -82,9 +83,14 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         c, t_run, done, acc = state
         slot = c % 2
 
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            dma(c + 1, (c + 1) % 2).start()
+        if PREFETCH:
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                dma(c + 1, (c + 1) % 2).start()
+        else:
+            @pl.when(c > 0)
+            def _():
+                dma(c, slot).start()
 
         dma(c, slot).wait()
         _, _, _, alpha, contrib, _ = _chunk_terms(buf[slot], count - c * CHUNK,
@@ -92,10 +98,11 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb_t = buf[slot][6:9, :]                             # [3, CK]
-        acc = acc + jax.lax.dot_general(
-            w, rgb_t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)               # [P, 3]
+        # per-channel VPU multiply-reduce (exact f32; Mosaic matmuls round
+        # inputs to bf16 regardless of the precision flag)
+        acc = acc + jnp.concatenate(
+            [jnp.sum(w * rgb_t[c:c + 1, :], axis=1, keepdims=True)
+             for c in range(3)], axis=1)                       # [P, 3]
         return c + 1, t_run, done, acc
 
     def cond(state):
@@ -172,16 +179,13 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
         w = jnp.where(include, alpha * t_excl, 0.0)
         rgb_t = buf[slot][6:9, :]                              # [3, CK]
 
-        # dL/drgb: [3, CK] = g_outᵀ [3, P] @ w [P, CK]
-        g_rgb = jax.lax.dot_general(
-            g_out, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # dL/drgb: [3, CK] = Σ_p g_out[p,c]·w[p,k], per channel (VPU exact)
+        g_rgb = jnp.concatenate(
+            [jnp.sum(g_out[:, c:c + 1] * w, axis=0, keepdims=True)
+             for c in range(3)], axis=0)
         # Σ_c g_c rgb_k,c  [P, CK]
-        g_dot_rgb = jax.lax.dot_general(
-            g_out, rgb_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        g_dot_rgb = sum(g_out[:, c:c + 1] * rgb_t[c:c + 1, :]
+                        for c in range(3))
         one_minus = jnp.where(include, 1.0 - alpha, 1.0)
         wg = w * g_dot_rgb
         cums = _cumsum_lanes(wg, strict=False) + prefix

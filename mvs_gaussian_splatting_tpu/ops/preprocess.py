@@ -98,16 +98,22 @@ def preprocess(
     n = means3d.shape[0]
     opacities = opacities.reshape(n)
 
-    # World → camera.
+    # World → camera. All geometry matmuls pin HIGHEST precision: TPU's
+    # default bf16 matmul inputs cost ~0.5 px of projected position error,
+    # which shifts tile membership and corrupts training.
+    import jax
+    hp = jax.lax.Precision.HIGHEST
     R_wc = camera.viewmatrix[:3, :3]
     t_wc = camera.viewmatrix[:3, 3]
-    p_view = means3d @ R_wc.T + t_wc  # [N, 3]
+    p_view = jnp.dot(means3d, R_wc.T, precision=hp) + t_wc  # [N, 3]
     depth = p_view[:, 2]
     in_frustum = depth > 0.2
 
     # World → clip → NDC (with the CUDA 1e-7 w-guard).
-    p_hom = means3d @ camera.projmatrix[:3, :3].T + camera.projmatrix[:3, 3]
-    w_hom = means3d @ camera.projmatrix[3, :3] + camera.projmatrix[3, 3]
+    p_hom = (jnp.dot(means3d, camera.projmatrix[:3, :3].T, precision=hp)
+             + camera.projmatrix[:3, 3])
+    w_hom = (jnp.dot(means3d, camera.projmatrix[3, :3], precision=hp)
+             + camera.projmatrix[3, 3])
     p_ndc = p_hom[:, :2] / (w_hom[:, None] + 1e-7)
     if ndc_offset is not None:
         p_ndc = p_ndc + ndc_offset
@@ -140,8 +146,9 @@ def preprocess(
         jnp.stack([focal_x / z, zero, -focal_x * tx / (z * z)], -1),
         jnp.stack([zero, focal_y / z, -focal_y * ty / (z * z)], -1),
     ], axis=-2)  # [N, 2, 3]
-    JW = J @ R_wc  # [N, 2, 3]
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
+    JW = jnp.einsum("nij,jk->nik", J, R_wc, precision=hp)  # [N, 2, 3]
+    cov2d = jnp.einsum("nij,njk,nlk->nil", JW, cov3d, JW,
+                       precision=hp)  # [N, 2, 2]
     cxx = cov2d[:, 0, 0] + 0.3
     cyy = cov2d[:, 1, 1] + 0.3
     cxy = cov2d[:, 0, 1]

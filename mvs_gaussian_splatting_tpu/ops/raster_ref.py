@@ -16,6 +16,7 @@ O(N·H·W) memory/compute — use only for small scenes and tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .preprocess import Processed
@@ -77,7 +78,8 @@ def rasterize_reference(processed: Processed, image_width: int, image_height: in
     include = contributes & (done_before == 0) & ~fail
 
     w = jnp.where(include, alpha * T_excl, 0.0)              # [N, H, W]
-    image = jnp.einsum("nhw,nc->chw", w, rgb)
+    image = jnp.einsum("nhw,nc->chw", w, rgb,
+                       precision=jax.lax.Precision.HIGHEST)
     final_T = jnp.prod(jnp.where(include, one_minus, 1.0), axis=0)  # [H, W]
     image = image + final_T[None] * bg_color[:, None, None]
 

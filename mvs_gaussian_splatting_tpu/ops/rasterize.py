@@ -71,7 +71,8 @@ def composite_tiles_jnp(xy, conic, rgb, opacity, valid, tile_ids,
     include = contributes & (done_before == 0) & ~fail
 
     w = jnp.where(include, alpha * T_excl, 0.0)               # [B, K, P]
-    out = jnp.einsum("bkp,bkc->bcp", w, rgb)
+    out = jnp.einsum("bkp,bkc->bcp", w, rgb,
+                     precision=jax.lax.Precision.HIGHEST)
     final_T = jnp.prod(jnp.where(include, one_minus, 1.0), axis=1)  # [B, P]
     out = out + final_T[:, None, :] * bg[None, :, None]
     return out, final_T

@@ -32,6 +32,8 @@ class BatchStepMetrics(NamedTuple):
     loss: jnp.ndarray
     l1: jnp.ndarray
     n_visible: jnp.ndarray
+    overflow_tiles: jnp.ndarray
+    overflow_capacity: jnp.ndarray
 
 
 def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
@@ -50,7 +52,8 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
         l1 = l1_loss(img, gt)
         loss = ((1.0 - opt_cfg.lambda_dssim) * l1
                 + opt_cfg.lambda_dssim * (1.0 - ssim(img, gt)))
-        return loss, (l1, out["radii"], out["visibility_filter"])
+        return loss, (l1, out["radii"], out["visibility_filter"],
+                      out["overflow_tiles"], out["overflow_capacity"])
 
     @partial(jax.jit, static_argnames=("width", "height", "sh_degree"),
              donate_argnums=(0, 1, 2))
@@ -60,14 +63,14 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
         b = gts.shape[0]
 
         def loss_fn(p, ndc_off):
-            losses, (l1s, radii, vis) = jax.vmap(
+            losses, (l1s, radii, vis, ot, oc) = jax.vmap(
                 lambda c, g, nd: per_camera(p, aux.alive, nd, c, g, bg,
                                             width, height, sh_degree)
             )(cams, gts, ndc_off)
-            return losses.mean(), (l1s.mean(), radii, vis)
+            return losses.mean(), (l1s.mean(), radii, vis, ot.sum(), oc.sum())
 
         ndc_zero = jnp.zeros((b, params.xyz.shape[0], 2))
-        (loss, (l1, radii, vis)), (g_params, g_ndc) = jax.value_and_grad(
+        (loss, (l1, radii, vis, ot, oc)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
         lrs = group_lrs(opt_cfg, step_i, spatial_lr_scale, params)
@@ -87,7 +90,8 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
                 denom=a.denom + visf.sum(0)),
             lambda a: a, aux)
 
-        metrics = BatchStepMetrics(loss=loss, l1=l1, n_visible=vis.any(0).sum())
+        metrics = BatchStepMetrics(loss=loss, l1=l1, n_visible=vis.any(0).sum(),
+                                   overflow_tiles=ot, overflow_capacity=oc)
         return new_params, new_adam, new_aux, metrics
 
     def place_inputs(params, adam, aux, cams, gts, bg):

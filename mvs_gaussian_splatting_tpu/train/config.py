@@ -97,6 +97,7 @@ class TrainRunConfig:
     eval_every: int = 0      # 0 = off (the reference's every-50-iters sweep is opt-in)
     seed: int = 0
     log_every: int = 10
+    data_parallel: int = 0   # cameras per step over the device mesh (0 = off)
 
 
 def save_cfg_args(model_path: str, model_cfg: ModelConfig) -> None:

@@ -79,6 +79,18 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
     eval_render = make_eval_render(raster_cfg)
 
+    batch_step = None
+    mesh = None
+    if run_cfg.data_parallel > 0:
+        from ..parallel.data_parallel import make_batch_train_step
+        from ..parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        mesh = make_mesh(min(n_dev, run_cfg.data_parallel))
+        batch_step, place_inputs = make_batch_train_step(
+            opt_cfg, raster_cfg, spatial_lr_scale, mesh)
+        log_fn(f"data-parallel: {run_cfg.data_parallel} cameras/step over "
+               f"{mesh.devices.size} device(s)")
+
     grow_cfg = None
     sphere_dirs = None
     spec_step = None
@@ -170,6 +182,21 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 jnp.int32(iteration), jnp.asarray(do_stats), sub,
                 width=cam.image.shape[2], height=cam.image.shape[1],
                 sh_degree=active_sh)
+        elif batch_step is not None:
+            from ..parallel.data_parallel import stack_cameras
+            cams = [cam]
+            for _ in range(run_cfg.data_parallel - 1):
+                if not viewpoint_stack:
+                    viewpoint_stack = scene.get_train_cameras().copy()
+                cams.append(viewpoint_stack.pop(
+                    random.randint(0, len(viewpoint_stack) - 1)))
+            gts = jnp.stack([jnp.asarray(c.image) for c in cams])
+            with mesh:
+                params, adam, aux, metrics = batch_step(
+                    params, adam, aux, stack_cameras([c.view() for c in cams]),
+                    gts, bg_it, jnp.int32(iteration), jnp.asarray(do_stats),
+                    width=cam.image.shape[2], height=cam.image.shape[1],
+                    sh_degree=active_sh)
         else:
             params, adam, aux, metrics = train_step(
                 params, adam, aux, cam.view(), gt, bg_it,

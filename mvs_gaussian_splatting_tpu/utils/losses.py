@@ -53,6 +53,7 @@ def _depthwise_conv(img, window):
         window_strides=(1, 1),
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, 0, :, :]
 

@@ -59,7 +59,9 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH color: sh [..., K, C] (K >= (deg+1)^2), dirs [..., 3] → [..., C]."""
     k = (deg + 1) ** 2
     basis = sh_basis(deg, dirs)  # [..., k]
-    return jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :])
+    import jax
+    return jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :],
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def sh_to_rgb_clamped(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray):

@@ -31,9 +31,15 @@ def build_scaling_rotation(s: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def covariance_from_scaling_rotation(scaling, rotation, scaling_modifier=1.0):
-    """Full 3D covariance Σ = L Lᵀ, L = R·diag(mod·s). Returns [..., 3, 3]."""
+    """Full 3D covariance Σ = L Lᵀ, L = R·diag(mod·s). Returns [..., 3, 3].
+
+    HIGHEST matmul precision: TPU's default bf16 inputs are too coarse for
+    geometry (see ops/preprocess.py).
+    """
+    import jax
     L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jnp.einsum("...ij,...kj->...ik", L, L,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:
