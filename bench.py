@@ -55,6 +55,13 @@ def build_scene(n: int, width: int, height: int, seed: int = 0):
 
 def main():
     import jax
+    # persistent compile cache: the first bench compile is minutes over the
+    # remote-compile tunnel; later runs (and the driver's) hit this cache.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from mvs_gaussian_splatting_tpu.ops.preprocess import preprocess
     from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig, rasterize

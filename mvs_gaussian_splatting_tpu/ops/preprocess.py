@@ -98,21 +98,21 @@ def preprocess(
     n = means3d.shape[0]
     opacities = opacities.reshape(n)
 
-    # World → camera. All geometry matmuls pin HIGHEST precision: TPU's
-    # default bf16 matmul inputs cost ~0.5 px of projected position error,
-    # which shifts tile membership and corrupts training.
-    import jax
-    hp = jax.lax.Precision.HIGHEST
+    # World → camera. Geometry contractions are written as explicit
+    # broadcast-multiply-sums: exact f32 on the VPU, unlike TPU's default
+    # matmul (bf16 inputs → ~0.5 px projected-position error that shifts tile
+    # membership and corrupts training), and cheaper than HIGHEST-precision
+    # MXU passes at K=3.
     R_wc = camera.viewmatrix[:3, :3]
     t_wc = camera.viewmatrix[:3, 3]
-    p_view = jnp.dot(means3d, R_wc.T, precision=hp) + t_wc  # [N, 3]
+    p_view = (means3d[:, None, :] * R_wc[None, :, :]).sum(-1) + t_wc  # [N, 3]
     depth = p_view[:, 2]
     in_frustum = depth > 0.2
 
     # World → clip → NDC (with the CUDA 1e-7 w-guard).
-    p_hom = (jnp.dot(means3d, camera.projmatrix[:3, :3].T, precision=hp)
+    p_hom = ((means3d[:, None, :] * camera.projmatrix[None, :3, :3]).sum(-1)
              + camera.projmatrix[:3, 3])
-    w_hom = (jnp.dot(means3d, camera.projmatrix[3, :3], precision=hp)
+    w_hom = ((means3d * camera.projmatrix[3, :3]).sum(-1)
              + camera.projmatrix[3, 3])
     p_ndc = p_hom[:, :2] / (w_hom[:, None] + 1e-7)
     if ndc_offset is not None:
@@ -146,9 +146,9 @@ def preprocess(
         jnp.stack([focal_x / z, zero, -focal_x * tx / (z * z)], -1),
         jnp.stack([zero, focal_y / z, -focal_y * ty / (z * z)], -1),
     ], axis=-2)  # [N, 2, 3]
-    JW = jnp.einsum("nij,jk->nik", J, R_wc, precision=hp)  # [N, 2, 3]
-    cov2d = jnp.einsum("nij,njk,nlk->nil", JW, cov3d, JW,
-                       precision=hp)  # [N, 2, 2]
+    JW = (J[:, :, :, None] * R_wc[None, None, :, :]).sum(2)   # [N, 2, 3]
+    JWC = (JW[:, :, :, None] * cov3d[:, None, :, :]).sum(2)   # [N, 2, 3]
+    cov2d = (JWC[:, :, None, :] * JW[:, None, :, :]).sum(-1)  # [N, 2, 2]
     cxx = cov2d[:, 0, 0] + 0.3
     cyy = cov2d[:, 1, 1] + 0.3
     cxy = cov2d[:, 0, 1]

@@ -36,10 +36,8 @@ def covariance_from_scaling_rotation(scaling, rotation, scaling_modifier=1.0):
     HIGHEST matmul precision: TPU's default bf16 inputs are too coarse for
     geometry (see ops/preprocess.py).
     """
-    import jax
     L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    return jnp.einsum("...ij,...kj->...ik", L, L,
-                      precision=jax.lax.Precision.HIGHEST)
+    return (L[..., :, None, :] * L[..., None, :, :]).sum(-1)
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:
