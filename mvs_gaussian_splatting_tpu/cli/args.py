@@ -13,23 +13,44 @@ _SHORTHAND = {"source_path": "-s", "model_path": "-m", "images": "-i",
               "resolution": "-r", "white_background": "-w"}
 
 
-def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = ""):
+def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = "",
+                       sentinel: bool = False):
+    """sentinel=True parses with None defaults so a caller can distinguish
+    'user passed this flag' from 'dataclass default' (the reference's
+    ModelParams(sentinel) pattern used by render.py/get_combined_args)."""
     for f in dataclasses.fields(cls):
         name = "--" + f.name
         flags = [name]
         if f.name in _SHORTHAND:
             flags.append(_SHORTHAND[f.name])
         default = f.default if f.default is not dataclasses.MISSING else None
+        if sentinel:
+            default = None
         if f.type in ("bool", bool):
             parser.add_argument(*flags, action="store_true",
-                                default=bool(default))
+                                default=None if sentinel else bool(default))
         elif f.type in ("List[int]", "list"):
             parser.add_argument(*flags, nargs="+", type=int,
-                                default=list(f.default_factory()))
+                                default=None if sentinel
+                                else list(f.default_factory()))
         else:
             t = {"int": int, "float": float, "str": str}.get(
                 f.type if isinstance(f.type, str) else f.type.__name__, str)
             parser.add_argument(*flags, type=t, default=default)
+
+
+def merge_with_saved(cls, args: argparse.Namespace, saved):
+    """CLI value if explicitly passed (non-None), else saved config value,
+    else the dataclass default."""
+    out = {}
+    for f in dataclasses.fields(cls):
+        v = getattr(args, f.name, None)
+        if v is None:
+            v = getattr(saved, f.name) if saved is not None else (
+                f.default if f.default is not dataclasses.MISSING
+                else f.default_factory())
+        out[f.name] = v
+    return cls(**out)
 
 
 def extract(cls, args: argparse.Namespace):

@@ -22,7 +22,7 @@ from ..ops.render import render
 from ..train.config import ModelConfig, PipelineConfig, load_cfg_args
 from ..train.loop import raster_config_from_pipe
 from ..utils.system import search_max_iteration
-from .args import add_dataclass_args, extract
+from .args import add_dataclass_args, extract, merge_with_saved
 
 
 def params_from_ply(path: str, sh_degree: int) -> GaussianParams:
@@ -56,7 +56,7 @@ def render_set(model_path, name, iteration, cameras, params, bg, sh_degree,
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Testing script parameters")
-    add_dataclass_args(parser, ModelConfig)
+    add_dataclass_args(parser, ModelConfig, sentinel=True)
     add_dataclass_args(parser, PipelineConfig)
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_train", action="store_true")
@@ -65,12 +65,9 @@ def main(argv=None):
 
     try:
         saved = load_cfg_args(args.model_path)
-        for k in ("source_path", "images", "white_background", "eval", "sh_degree"):
-            if getattr(args, k) in (None, "", False, -1) or k == "sh_degree":
-                setattr(args, k, getattr(saved, k))
-    except FileNotFoundError:
-        pass
-    model_cfg = extract(ModelConfig, args)
+    except (FileNotFoundError, TypeError):
+        saved = None
+    model_cfg = merge_with_saved(ModelConfig, args, saved)
     model_cfg.model_path = args.model_path
     pipe_cfg = extract(PipelineConfig, args)
 

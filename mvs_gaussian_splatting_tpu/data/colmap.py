@@ -128,15 +128,23 @@ def read_cameras_text(path: str) -> Dict[int, CameraIntrinsics]:
 def read_images_text(path: str) -> Dict[int, ImageExtrinsics]:
     out = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.strip().startswith("#")]
-    # images.txt alternates: pose line, 2D-points line.
-    for pose_line in lines[0::2]:
-        tok = pose_line.split()
-        image_id = int(tok[0])
-        qvec = np.array(tok[1:5], dtype=np.float64)
-        tvec = np.array(tok[5:8], dtype=np.float64)
-        out[image_id] = ImageExtrinsics(image_id, qvec, tvec, int(tok[8]), tok[9])
+        expecting_pose = True
+        for raw in f:
+            line = raw.strip()
+            if expecting_pose:
+                if not line or line.startswith("#"):
+                    continue
+                tok = line.split()
+                image_id = int(tok[0])
+                qvec = np.array(tok[1:5], dtype=np.float64)
+                tvec = np.array(tok[5:8], dtype=np.float64)
+                out[image_id] = ImageExtrinsics(image_id, qvec, tvec,
+                                                int(tok[8]), tok[9])
+                expecting_pose = False
+            else:
+                # the 2D-points line is consumed unconditionally — it may be
+                # empty for an image with zero observations
+                expecting_pose = True
     return out
 
 

@@ -134,7 +134,10 @@ def _split_into_free(params, mu, nu, alive, sel_split, key, free_idx, n_free,
         xyz=params.xyz.at[dest].add(off2[sc], mode="drop"),
         scaling=params.scaling.at[dest].set(new_scaling[sc], mode="drop"),
     )
-    src_ok = jnp.where(arange < n_want, split_src, capacity)
+    # Only transform parents whose child-2 slot was actually granted —
+    # otherwise a capacity-starved round would shrink/displace the parent
+    # while never creating the second child.
+    src_ok = jnp.where(ok, split_src, capacity)
     src_ok_c = jnp.clip(src_ok, 0, capacity - 1)
     params = params._replace(
         xyz=params.xyz.at[src_ok].add(off1[src_ok_c], mode="drop"),
@@ -255,9 +258,6 @@ def densify_and_prune_grow(params: GaussianParams, mu, nu, aux: GaussianAux,
     # growsplit: high-grad OR newly-grown, and large (:686-692)
     newly_grown = jnp.zeros(capacity, bool).at[grow_dest].set(True, mode="drop")
     max_scale = jnp.exp(params.scaling).max(axis=1)
-    sel_split = (alive & (sel_grow | newly_grown | (g >= cfg.grad_threshold))
-                 & (max_scale > cfg.percent_dense * extent))
-    # wait: reference keeps the ORIGINAL grad gate for old points
     sel_split = (alive & ((g >= cfg.grad_threshold) | newly_grown)
                  & (max_scale > cfg.percent_dense * extent))
 

@@ -114,10 +114,13 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
     c_end, t_fin, _, acc = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the prefetched next chunk's DMA in flight — drain it
-    # or the semaphore state corrupts the next grid step.
-    @pl.when(c_end < n_chunks)
-    def _():
-        dma(c_end, c_end % 2).wait()
+    # or the semaphore state corrupts the next grid step. (Without prefetch
+    # no DMA can be outstanding at exit; waiting would hang on a semaphore
+    # that was never signaled.)
+    if PREFETCH:
+        @pl.when(c_end < n_chunks)
+        def _():
+            dma(c_end, c_end % 2).wait()
 
     out_ref[0, :, :] = acc + t_fin * bg_ref[:, :]
     tfin_ref[0, :, :] = t_fin.reshape(1, p)

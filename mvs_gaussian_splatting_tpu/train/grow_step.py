@@ -59,6 +59,15 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
             l1 = l1_loss(img, gt)
             loss = ((1.0 - opt_cfg.lambda_dssim) * l1
                     + opt_cfg.lambda_dssim * (1.0 - ssim(img, gt)))
+            if opt_cfg.opacitysparse > 0:
+                opac = jax.nn.sigmoid(p.opacity[:, 0])
+                m = aux.alive & (opac < 0.005)
+                cnt = m.sum()
+                sparse = jnp.where(
+                    cnt > 0,
+                    (jnp.abs(opac - 1.0) * m).sum() / jnp.maximum(cnt, 1),
+                    0.0)
+                loss = loss + opt_cfg.opacitysparse * sparse
             return loss, (l1, raux)
 
         n_aug = capacity + 2 * spec_size

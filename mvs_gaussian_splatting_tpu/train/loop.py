@@ -184,19 +184,26 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 sh_degree=active_sh)
         elif batch_step is not None:
             from ..parallel.data_parallel import stack_cameras
+            size = cam.image.shape
             cams = [cam]
-            for _ in range(run_cfg.data_parallel - 1):
+            tries = 0
+            # batch must share one static (H, W); draw same-size cameras
+            while len(cams) < run_cfg.data_parallel and tries < 1000:
                 if not viewpoint_stack:
                     viewpoint_stack = scene.get_train_cameras().copy()
-                cams.append(viewpoint_stack.pop(
-                    random.randint(0, len(viewpoint_stack) - 1)))
+                c = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+                tries += 1
+                if c.image.shape == size:
+                    cams.append(c)
             gts = jnp.stack([jnp.asarray(c.image) for c in cams])
             with mesh:
-                params, adam, aux, metrics = batch_step(
+                b_params, b_adam, b_aux, b_cams, b_gts, b_bg = place_inputs(
                     params, adam, aux, stack_cameras([c.view() for c in cams]),
-                    gts, bg_it, jnp.int32(iteration), jnp.asarray(do_stats),
-                    width=cam.image.shape[2], height=cam.image.shape[1],
-                    sh_degree=active_sh)
+                    gts, bg_it)
+                params, adam, aux, metrics = batch_step(
+                    b_params, b_adam, b_aux, b_cams, b_gts, b_bg,
+                    jnp.int32(iteration), jnp.asarray(do_stats),
+                    width=size[2], height=size[1], sh_degree=active_sh)
         else:
             params, adam, aux, metrics = train_step(
                 params, adam, aux, cam.view(), gt, bg_it,

@@ -90,10 +90,12 @@ def adam_update(grads: GaussianParams, state: AdamState, params: GaussianParams,
             step = jnp.where(mask, step, 0.0)
         return p - step, m_new, v_new
 
-    new_params = jax.tree.map(lambda g, m, v, p, lr: upd(g, m, v, p, lr)[0],
-                              grads, state.mu, state.nu, params, lrs)
-    new_mu = jax.tree.map(lambda g, m, v, p, lr: upd(g, m, v, p, lr)[1],
-                          grads, state.mu, state.nu, params, lrs)
-    new_nu = jax.tree.map(lambda g, m, v, p, lr: upd(g, m, v, p, lr)[2],
-                          grads, state.mu, state.nu, params, lrs)
+    treedef = jax.tree.structure(params)
+    triples = [upd(g, m, v, p, lr) for g, m, v, p, lr in zip(
+        jax.tree.leaves(grads), jax.tree.leaves(state.mu),
+        jax.tree.leaves(state.nu), jax.tree.leaves(params),
+        jax.tree.leaves(lrs))]
+    new_params = jax.tree.unflatten(treedef, [t[0] for t in triples])
+    new_mu = jax.tree.unflatten(treedef, [t[1] for t in triples])
+    new_nu = jax.tree.unflatten(treedef, [t[2] for t in triples])
     return new_params, AdamState(count=count, mu=new_mu, nu=new_nu)
