@@ -146,17 +146,26 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     counts = jnp.where(fits, counts_raw, 0)
     overflow_capacity = (counts_raw.sum() - counts.sum()).astype(jnp.int32)
 
-    # region id per packed slot via cumsum of region-boundary marks (a
-    # searchsorted over 8160 starts per slot is 26M scalar gathers — slow on
-    # TPU; one scatter + cumsum is bandwidth-speed).
+    # Per-slot region values (region_start[t_q], counts[t_q], seg_start[t_q])
+    # via boundary-delta scatter + cumsum instead of per-slot gathers: TPU
+    # gathers run at ~60M elem/s, three 2M-element gathers would eat ~40 ms;
+    # three 8160-element scatters + 2M cumsums are bandwidth-speed. Duplicate
+    # boundary positions (empty regions) scatter-ADD their deltas, which the
+    # cumsum accumulates correctly.
     q = jnp.arange(cap, dtype=jnp.int32)
-    marks = jnp.zeros(cap, jnp.int32).at[region_start[1:]].add(
-        1, mode="drop")
-    t_q = jnp.cumsum(marks)
-    t_qc = jnp.clip(t_q, 0, num_tiles - 1)
-    off = q - region_start[t_qc]
-    valid_q = off < counts[t_qc]
-    src = jnp.clip(seg_start[t_qc] + off, 0, n * d - 1)
+
+    def per_slot(vals):
+        deltas = jnp.concatenate([vals[:1], jnp.diff(vals)])
+        arr = jnp.zeros(cap, vals.dtype).at[region_start].add(deltas,
+                                                              mode="drop")
+        return jnp.cumsum(arr)
+
+    region_start_q = per_slot(region_start)
+    counts_q = per_slot(counts)
+    seg_start_q = per_slot(seg_start)
+    off = q - region_start_q
+    valid_q = off < counts_q
+    src = jnp.clip(seg_start_q + off, 0, n * d - 1)
     inst_gauss = jnp.where(valid_q, sorted_gauss[src], 0)
 
     return StreamBins(inst_gauss=inst_gauss, inst_valid=valid_q,
