@@ -139,6 +139,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     history = {"loss": [], "psnr_test": {}, "n_alive": {}, "iter_time": []}
     ema_loss = 0.0
     t_last = time.perf_counter()
+    progress = _make_progress(first_iter, opt_cfg.iterations)
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         if PROFILE_DIR and iteration == _PROFILE_WINDOW[0]:
@@ -244,6 +245,10 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         # ---- logging / eval / save --------------------------------------
         loss = float(metrics.loss)
         ema_loss = 0.4 * loss + 0.6 * ema_loss
+        if progress is not None and iteration % 10 == 0:
+            progress.set_postfix({"Loss": f"{ema_loss:.7f}",
+                                  "pts": int(num_alive(aux))})
+            progress.update(10)
         if iteration % run_cfg.log_every == 0:
             now = time.perf_counter()
             it_s = run_cfg.log_every / (now - t_last)
@@ -277,6 +282,13 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 tb_writer.add_scalar("test/loss_viewpoint - psnr", ps, iteration)
                 tb_writer.add_scalar("total_points", int(num_alive(aux)),
                                      iteration)
+                tb_writer.add_histogram(
+                    "scene/opacity_histogram",
+                    np.asarray(jax.nn.sigmoid(
+                        params.opacity[np.asarray(aux.alive), 0])), iteration)
+            if model_cfg.model_path:
+                _dump_val_image(model_cfg.model_path, iteration, eval_render,
+                                params, aux, scene, bg, active_sh)
 
         if iteration in run_cfg.save_iterations and model_cfg.model_path:
             log_fn(f"[ITER {iteration}] Saving Gaussians")
@@ -353,3 +365,30 @@ def _gui_pump(model_cfg, params, aux, raster_cfg, sh_degree, iteration,
                 break
         except Exception:
             network_gui.conn = None
+
+
+def _make_progress(first_iter: int, iterations: int):
+    """tqdm progress bar, optional like the reference (train.py:52)."""
+    try:
+        from tqdm import tqdm
+        return tqdm(range(first_iter, iterations), desc="Training progress")
+    except ImportError:
+        return None
+
+
+def _dump_val_image(model_path, iteration, eval_render, params, aux, scene,
+                    bg, sh_degree):
+    """Side-by-side [render | GT] validation PNG (training_report
+    train.py:189-208 dumps comparable strips every ~5000 iterations)."""
+    try:
+        from PIL import Image
+        cam = scene.get_test_cameras()[0]
+        img = eval_render(params, aux.alive, cam.view(), bg,
+                          width=cam.image.shape[2], height=cam.image.shape[1],
+                          sh_degree=sh_degree)
+        side = np.concatenate([np.asarray(img),
+                               np.clip(np.asarray(cam.image), 0, 1)], axis=2)
+        Image.fromarray((side.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+            f"{model_path}/val_{iteration:05d}.png")
+    except Exception as e:
+        print(f"val-image dump failed: {e}")
