@@ -87,3 +87,58 @@ class TestMVSModel:
         leaves = jax.tree.leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
         assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+class TestMVSEndToEnd:
+    def test_predicted_gaussians_render_and_train(self):
+        """The full generalizable pipeline: images → cost volume → Gaussian
+        cloud → tiled rasterizer → photometric loss → gradients into the
+        network weights."""
+        import math
+        from mvs_gaussian_splatting_tpu.ops import CameraView, preprocess
+        from mvs_gaussian_splatting_tpu.ops.rasterize import (RasterConfig,
+                                                              rasterize)
+        from mvs_gaussian_splatting_tpu.utils import graphics
+        from mvs_gaussian_splatting_tpu.utils.transforms import normalize
+
+        rng = np.random.RandomState(5)
+        H = W = 32
+        ref = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+        srcs = jnp.asarray(rng.rand(2, 3, H, W).astype(np.float32))
+        hf, wf = H // 4, W // 4
+        K = jnp.asarray(np.array([[wf, 0, wf / 2], [0, wf, hf / 2], [0, 0, 1]],
+                                 np.float32))
+        model = MVSGaussianModel(num_depths=8)
+        variables = model.init(jax.random.PRNGKey(0), ref, srcs, K,
+                               jnp.stack([K, K]), jnp.stack([jnp.eye(3)] * 2),
+                               jnp.zeros((2, 3)), 1.0, 5.0)
+
+        # render camera: identity pose (reference camera frame == world)
+        fovx = 2 * math.atan(W / (2 * wf * 4))  # consistent-ish fov
+        fovy = fovx
+        P = graphics.projection_matrix(0.01, 100.0, fovx, fovy)
+        cam = CameraView(jnp.eye(4), jnp.asarray(P), jnp.zeros(3),
+                         jnp.float32(math.tan(fovx / 2)),
+                         jnp.float32(math.tan(fovy / 2)))
+        cfg = RasterConfig(tile_capacity=64, max_tiles_per_gaussian=8,
+                           tile_batch=4, backend="jnp")
+
+        def loss_fn(vs):
+            out = model.apply(vs, ref, srcs, K, jnp.stack([K, K]),
+                              jnp.stack([jnp.eye(3)] * 2), jnp.zeros((2, 3)),
+                              1.0, 5.0)
+            p = preprocess(out["xyz_cam"],
+                           jax.nn.sigmoid(out["opacity_logit"][:, 0]),
+                           cam, W, H,
+                           scales=jnp.exp(out["log_scaling"]),
+                           rotations=normalize(out["rotation"]),
+                           colors_precomp=out["colors"])
+            img, _ = rasterize(p, W, H, jnp.zeros(3), cfg)
+            return ((img - ref) ** 2).mean(), img
+
+        (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(img)).all()
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
