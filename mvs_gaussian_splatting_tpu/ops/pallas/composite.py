@@ -93,25 +93,32 @@ def _cumprod_lanes(x):
     return y, excl
 
 
-def _chunk_include(alpha, contrib, t_run, done_in):
+def _chunk_include(alpha, contrib, t_mono, t_fin):
     """Shared fwd/bwd chunk logic: per-entry include mask + transmittances.
 
-    alpha, contrib: [P, CK]; t_run, done_in: [P, 1].
-    Returns (include [P,CK], t_excl [P,CK], t_out [P,1], done_out [P,1]).
+    alpha, contrib: [P, CK]; t_mono, t_fin: [P, 1].
+
+    Monotone-T formulation: the inclusive transmittance over *contributing*
+    entries never increases, so entries failing the 1e-4 termination test form
+    a suffix — include = contrib & (T_incl ≥ 1e-4) with NO prior-fail cumsum,
+    no done flag, and no second cumprod (exactly equivalent to the reference's
+    sequential break, see raster_ref.py). Two per-pixel carries: ``t_mono``,
+    the product over all contributing entries (drives the test), and
+    ``t_fin``, frozen at the last included entry (the output final_T) — the
+    lane-min of T_incl over included entries, by monotonicity.
+
+    Returns (include [P,CK], t_excl [P,CK], t_mono_out [P,1], t_fin_out [P,1]).
     """
     one_minus = jnp.where(contrib, 1.0 - alpha, 1.0)
-    _, excl = _cumprod_lanes(one_minus)
-    t_excl = t_run * excl
-    fail = contrib & (t_excl * one_minus < 1e-4)
-    # 0/1 sums up to CK=128 are exact even at reduced matmul precision
-    prior_fail = _cumsum_lanes(fail.astype(jnp.float32), strict=True)
-    include = contrib & (prior_fail == 0.0) & ~fail & ~(done_in > 0)
-    incl_masked, _ = _cumprod_lanes(jnp.where(include, one_minus, 1.0))
-    t_out = t_run * incl_masked[:, -1:]
-    done_out = jnp.maximum(done_in,
-                           jnp.max(fail.astype(jnp.float32), axis=1,
-                                   keepdims=True))
-    return include, t_excl, t_out, done_out
+    incl, excl = _cumprod_lanes(one_minus)
+    t_incl = t_mono * incl
+    include = contrib & (t_incl >= 1e-4)
+    t_excl = t_mono * excl
+    t_fin_out = jnp.minimum(
+        t_fin, jnp.min(jnp.where(include, t_incl, jnp.inf), axis=1,
+                       keepdims=True))
+    t_mono_out = t_mono * incl[:, -1:]
+    return include, t_excl, t_mono_out, t_fin_out
 
 
 def _alpha_terms(xs, ys, ca, cb, cc, op, valid, px, py):
@@ -135,7 +142,7 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
     n_chunks = (jnp.minimum(count_ref[t], k) + CHUNK - 1) // CHUNK
 
     def body(state):
-        c, t_run, done, acc = state
+        c, t_mono, t_fin, acc = state
         o = c * CHUNK
         xs = xs_ref[0, :, pl.ds(o, CHUNK)]
         ys = ys_ref[0, :, pl.ds(o, CHUNK)]
@@ -145,7 +152,8 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         op = op_ref[0, :, pl.ds(o, CHUNK)]
         vl = valid_ref[0, :, pl.ds(o, CHUNK)]
         _, _, _, alpha, contrib = _alpha_terms(xs, ys, ca, cb, cc, op, vl, px, py)
-        include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
+        include, t_excl, t_mono, t_fin = _chunk_include(alpha, contrib,
+                                                        t_mono, t_fin)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb = rgb_ref[0, pl.ds(o, CHUNK), :]                  # [CK, 3]
         # VPU multiply-reduce per channel: exact f32 (Mosaic matmuls round
@@ -153,15 +161,15 @@ def _fwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         acc = acc + jnp.concatenate(
             [jnp.sum(w * rgb[:, c].reshape(1, CHUNK), axis=1, keepdims=True)
              for c in range(3)], axis=1)
-        return c + 1, t_run, done, acc
+        return c + 1, t_mono, t_fin, acc
 
     def cond(state):
-        c, t_run, done, _ = state
-        return (c < n_chunks) & (jnp.max(t_run) >= 1e-4)
+        c, t_mono, _, _ = state
+        return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 3), jnp.float32))
-    _, t_fin, _, acc = jax.lax.while_loop(cond, body, init)
+            jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 3), jnp.float32))
+    _, _, t_fin, acc = jax.lax.while_loop(cond, body, init)
 
     out_ref[0, :, :] = acc + t_fin * bg_ref[:, :]
     tfin_ref[0, :, :] = t_fin.reshape(1, p)
@@ -189,7 +197,7 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
     g_tfin_ext = gtfin_ref[0, :, :].reshape(p, 1)
 
     def body(state):
-        c, t_run, done, prefix = state
+        c, t_mono, t_fin_run, prefix = state
         o = c * CHUNK
         xs = xs_ref[0, :, pl.ds(o, CHUNK)]
         ys = ys_ref[0, :, pl.ds(o, CHUNK)]
@@ -199,7 +207,8 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         op = op_ref[0, :, pl.ds(o, CHUNK)]
         vl = valid_ref[0, :, pl.ds(o, CHUNK)]
         dx, dy, g, alpha, contrib = _alpha_terms(xs, ys, ca, cb, cc, op, vl, px, py)
-        include, t_excl, t_new, done_new = _chunk_include(alpha, contrib, t_run, done)
+        include, t_excl, t_new, tf_new = _chunk_include(alpha, contrib,
+                                                        t_mono, t_fin_run)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb = rgb_ref[0, pl.ds(o, CHUNK), :]                  # [CK, 3]
 
@@ -248,18 +257,18 @@ def _bwd_kernel(count_ref, xs_ref, ys_ref, ca_ref, cb_ref, cc_ref, op_ref,
         gcc_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dcc, axis=0, keepdims=True)
         gop_ref[0, :, pl.ds(o, CHUNK)] += jnp.sum(dop, axis=0, keepdims=True)
 
-        return c + 1, t_new, done_new, cums[:, -1:]
+        return c + 1, t_new, tf_new, cums[:, -1:]
 
     def cond(state):
-        c, t_run, _, _ = state
-        return (c < n_chunks) & (jnp.max(t_run) >= 1e-4)
+        c, t_mono, _, _ = state
+        return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
 
     # zero-init gradient outputs (written additively per chunk)
     for ref in (gxs_ref, gys_ref, gca_ref, gcb_ref, gcc_ref, gop_ref, grgb_ref):
         ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
+            jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
     jax.lax.while_loop(cond, body, init)
 
 

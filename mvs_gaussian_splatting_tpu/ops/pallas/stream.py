@@ -80,7 +80,7 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         dma(0, 0).start()
 
     def body(state):
-        c, t_run, done, acc = state
+        c, t_mono, t_fin, acc = state
         slot = c % 2
 
         if PREFETCH:
@@ -95,7 +95,8 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         dma(c, slot).wait()
         _, _, _, alpha, contrib, _ = _chunk_terms(buf[slot], count - c * CHUNK,
                                                   px, py)
-        include, t_excl, t_run, done = _chunk_include(alpha, contrib, t_run, done)
+        include, t_excl, t_mono, t_fin = _chunk_include(alpha, contrib,
+                                                        t_mono, t_fin)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb_t = buf[slot][6:9, :]                             # [3, CK]
         # per-channel VPU multiply-reduce (exact f32; Mosaic matmuls round
@@ -103,15 +104,15 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         acc = acc + jnp.concatenate(
             [jnp.sum(w * rgb_t[c:c + 1, :], axis=1, keepdims=True)
              for c in range(3)], axis=1)                       # [P, 3]
-        return c + 1, t_run, done, acc
+        return c + 1, t_mono, t_fin, acc
 
     def cond(state):
-        c, t_run, _, _ = state
-        return (c < n_chunks) & (jnp.max(t_run) >= 1e-4)
+        c, t_mono, _, _ = state
+        return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 3), jnp.float32))
-    c_end, t_fin, _, acc = jax.lax.while_loop(cond, body, init)
+            jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 3), jnp.float32))
+    c_end, _, t_fin, acc = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the prefetched next chunk's DMA in flight — drain it
     # or the semaphore state corrupts the next grid step. (Without prefetch
@@ -162,7 +163,7 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
         dma_in(0, 0).start()
 
     def body(c, state):
-        t_run, done, prefix = state
+        t_mono, t_fin_run, prefix = state
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -177,8 +178,8 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
         dx, dy, g, alpha, contrib, (ca, cb, cc, op) = _chunk_terms(
             buf[slot], count - c * CHUNK, px, py)
-        include, t_excl, t_new, done_new = _chunk_include(alpha, contrib,
-                                                          t_run, done)
+        include, t_excl, t_new, tf_new = _chunk_include(alpha, contrib,
+                                                        t_mono, t_fin_run)
         w = jnp.where(include, alpha * t_excl, 0.0)
         rgb_t = buf[slot][6:9, :]                              # [3, CK]
 
@@ -217,9 +218,9 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
         gbuf[slot, 9:, :] = jnp.zeros((ROWS - 9, CHUNK), jnp.float32)
         dma_out(c, slot).start()
 
-        return t_new, done_new, cums[:, -1:]
+        return t_new, tf_new, cums[:, -1:]
 
-    init = (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+    init = (jnp.ones((p, 1), jnp.float32), jnp.ones((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32))
     jax.lax.fori_loop(0, n_chunks, body, init)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.sh import sh_to_rgb_clamped
@@ -60,13 +61,14 @@ class Processed(NamedTuple):
     mask: jnp.ndarray      # [N] bool, visible
 
 
-def _tile_rect(xy, radius, tiles_x: int, tiles_y: int, tile_w: int, tile_h: int):
-    """Tile-footprint rectangle of a splat, CUDA getRect semantics."""
-    r = radius.astype(jnp.float32)
-    min_x = jnp.clip(jnp.floor((xy[:, 0] - r) / tile_w), 0, tiles_x).astype(jnp.int32)
-    min_y = jnp.clip(jnp.floor((xy[:, 1] - r) / tile_h), 0, tiles_y).astype(jnp.int32)
-    max_x = jnp.clip(jnp.floor((xy[:, 0] + r + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
-    max_y = jnp.clip(jnp.floor((xy[:, 1] + r + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+def _tile_rect(xy, ext_x, ext_y, tiles_x: int, tiles_y: int,
+               tile_w: int, tile_h: int):
+    """Tile-footprint rectangle of a splat, CUDA getRect semantics with
+    per-axis extents instead of a single circular radius."""
+    min_x = jnp.clip(jnp.floor((xy[:, 0] - ext_x) / tile_w), 0, tiles_x).astype(jnp.int32)
+    min_y = jnp.clip(jnp.floor((xy[:, 1] - ext_y) / tile_h), 0, tiles_y).astype(jnp.int32)
+    max_x = jnp.clip(jnp.floor((xy[:, 0] + ext_x + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
+    max_y = jnp.clip(jnp.floor((xy[:, 1] + ext_y + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
     return jnp.stack([min_x, min_y], -1), jnp.stack([max_x, max_y], -1)
 
 
@@ -169,7 +171,26 @@ def preprocess(
 
     tiles_x = -(-image_width // tile_w)
     tiles_y = -(-image_height // tile_h)
-    rect_min, rect_max = _tile_rect(xy, radius_f, tiles_x, tiles_y, tile_w, tile_h)
+    # Tight per-axis rect: the only pixels a splat can affect are those where
+    # alpha = op·exp(power) ≥ 1/255 (the compositing skip threshold, identical
+    # here, in the oracle, and in the CUDA renderCUDA loop) — i.e. inside the
+    # level-set ellipse power ≥ −ln(255·op), whose axis-aligned extents are
+    # sqrt(2·ln(255·op)·Σxx/Σyy). Intersecting that bbox with the reference's
+    # circular-radius square rect keeps outputs bit-identical to CUDA getRect
+    # semantics (pixels outside the level set fail the alpha test in both;
+    # pixels outside the 3σ square are excluded by both rects) while cutting
+    # tile instances ~2× on anisotropic, low-opacity splat populations.
+    # +0.5 px guards f32 rounding at the level-set boundary; the 1 px floor
+    # keeps area ≥ 1 tile so `radii > 0` (the reference's visibility filter)
+    # is unchanged even for op ≤ 1/255 ghosts.
+    # stop_gradient: rects are indices only, and sqrt'(0)=inf would otherwise
+    # turn floor()'s zero cotangent into 0·inf = NaN for op ≤ 1/255 splats.
+    c0 = 2.0 * jnp.log(jnp.maximum(255.0 * jax.lax.stop_gradient(opacities), 1.0))
+    sg = jax.lax.stop_gradient
+    ext_x = jnp.clip(jnp.sqrt(c0 * sg(cxx)) + 0.5, 1.0, sg(radius_f))
+    ext_y = jnp.clip(jnp.sqrt(c0 * sg(cyy)) + 0.5, 1.0, sg(radius_f))
+    rect_min, rect_max = _tile_rect(xy, ext_x, ext_y, tiles_x, tiles_y,
+                                    tile_w, tile_h)
     area = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0) * jnp.maximum(
         rect_max[:, 1] - rect_min[:, 1], 0)
     visible = visible & (radius_f > 0) & (area > 0)

