@@ -78,12 +78,12 @@ def bin_gaussians(processed: Processed, tiles_x: int, tiles_y: int,
 
 
 class StreamBins(NamedTuple):
-    """Instance-stream layout: one packed instance list, CHUNK-aligned
-    per-tile regions (consumed by ops/pallas/stream.py)."""
+    """Instance-stream layout: the tile-sorted instance list itself, consumed
+    segment-direct by ops/pallas/stream.py (no region re-layout)."""
 
-    inst_gauss: jnp.ndarray     # [CAP] int32 Gaussian index per instance slot
-    inst_valid: jnp.ndarray     # [CAP] bool
-    region_start: jnp.ndarray   # [T] int32, CHUNK-aligned region offsets
+    inst_gauss: jnp.ndarray     # [CAP + CHUNK] int32 Gaussian index per slot
+    inst_valid: jnp.ndarray     # [CAP + CHUNK] bool
+    seg_start: jnp.ndarray      # [T] int32 segment offsets (UNALIGNED)
     counts: jnp.ndarray         # [T] int32 valid instances per tile (clipped)
     counts_raw: jnp.ndarray     # [T] int32 pre-clip intersection counts
     overflow_tiles: jnp.ndarray
@@ -93,14 +93,18 @@ class StreamBins(NamedTuple):
 def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          max_tiles_per_gaussian: int, cap: int,
                          chunk: int = 128) -> StreamBins:
-    """Depth-presorted, single-key tile sort into aligned regions.
+    """Depth-presorted, single-key tile sort consumed in segment layout.
 
     Gaussians are depth-sorted once (N entries), instances enumerated in that
     order, then stably sorted by tile id alone — stability preserves depth
     order within each tile, replacing the 2-key (tile, depth) sort with a
-    cheaper single-key sort. Per-tile segments are then laid into regions
-    rounded up to ``chunk`` so stream kernels get aligned DMA and conflict-
-    free gradient writes. All truncation is counted, never silent.
+    cheaper single-key sort. The sorted instance list IS the output: per-tile
+    segments start at unaligned ``seg_start`` offsets and the stream kernels
+    DMA directly from them, so there is no chunk-aligned region re-layout
+    (which cost a [CAP] scalar gather + three [CAP] cumsums and ~60% slot
+    padding at typical loads). ``CHUNK`` slack columns at the tail absorb the
+    last tile's chunk-granular DMA spill. All truncation is counted, never
+    silent.
     """
     n = processed.xy.shape[0]
     d = max_tiles_per_gaussian
@@ -139,37 +143,24 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     seg_end = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
     counts_raw = seg_end - seg_start
 
-    padded = ((counts_raw + chunk - 1) // chunk) * chunk
-    region_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    fits = region_start + padded <= cap
-    counts = jnp.where(fits, counts_raw, 0)
+    # Segments past `cap` are truncated depth-last (per tile), counted.
+    counts = jnp.clip(cap - seg_start, 0, counts_raw)
     overflow_capacity = (counts_raw.sum() - counts.sum()).astype(jnp.int32)
 
-    # Per-slot region values (region_start[t_q], counts[t_q], seg_start[t_q])
-    # via boundary-delta scatter + cumsum instead of per-slot gathers: TPU
-    # gathers run at ~60M elem/s, three 2M-element gathers would eat ~40 ms;
-    # three 8160-element scatters + 2M cumsums are bandwidth-speed. Duplicate
-    # boundary positions (empty regions) scatter-ADD their deltas, which the
-    # cumsum accumulates correctly.
-    q = jnp.arange(cap, dtype=jnp.int32)
-
-    def per_slot(vals):
-        deltas = jnp.concatenate([vals[:1], jnp.diff(vals)])
-        arr = jnp.zeros(cap, vals.dtype).at[region_start].add(deltas,
-                                                              mode="drop")
-        return jnp.cumsum(arr)
-
-    region_start_q = per_slot(region_start)
-    counts_q = per_slot(counts)
-    seg_start_q = per_slot(seg_start)
-    off = q - region_start_q
-    valid_q = off < counts_q
-    src = jnp.clip(seg_start_q + off, 0, n * d - 1)
-    inst_gauss = jnp.where(valid_q, sorted_gauss[src], 0)
+    total = cap + chunk  # slack for the last tile's chunk-granular DMA spill
+    m = n * d
+    if m >= total:
+        sg = sorted_gauss[:total]
+    else:
+        sg = jnp.pad(sorted_gauss, (0, total - m))
+    n_valid = jnp.searchsorted(sorted_tile, jnp.int32(num_tiles),
+                               side="left").astype(jnp.int32)
+    q = jnp.arange(total, dtype=jnp.int32)
+    valid_q = q < jnp.minimum(n_valid, cap)
+    inst_gauss = jnp.where(valid_q, sg, 0)
 
     return StreamBins(inst_gauss=inst_gauss, inst_valid=valid_q,
-                      region_start=region_start, counts=counts,
+                      seg_start=seg_start, counts=counts,
                       counts_raw=counts_raw,
                       overflow_tiles=overflow_tiles,
                       overflow_capacity=overflow_capacity)

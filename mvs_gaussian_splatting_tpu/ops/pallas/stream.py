@@ -4,11 +4,14 @@ The performance architecture for the tile rasterizer (v2 of composite.py).
 Instead of gathering fixed-capacity [T, K] per-tile attribute tables (90%
 padding waste at typical loads — see profile in bench history), the binning
 stage lays all tile instances out in ONE packed attribute array of shape
-[16, CAP] (attribute rows × instances), with each tile's segment starting at
-a CHUNK-aligned region offset. Kernels stream their segment HBM→VMEM with
-double-buffered async DMA; per-entry validity is just a lane-index < count
-mask, so no valid array, no gather padding, and the backward writes per-
-instance gradients back to disjoint aligned regions with no conflicts.
+[16, CAP + CHUNK] (attribute rows × tile-sorted instances, segment-direct:
+per-tile segments start at arbitrary unaligned offsets, no chunk-aligned
+re-layout). Kernels stream their segment HBM→VMEM with double-buffered async
+DMA; per-entry validity is just a lane-index < count mask. Backward gradient
+writes are chunk-granular and may spill ≤ CHUNK−1 zero lanes into the next
+tile's segment head — safe because the sequential grid drains each step's
+write DMAs before the next step, and each tile rewrites its full segment
+(see dma_out).
 
 Attribute row layout (rows 9..15 padding for the 16-sublane DMA tile):
   0 x, 1 y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b
@@ -42,10 +45,16 @@ def _pixel_grid(tile_id, tiles_x: int, tile_w: int, tile_h: int, p: int):
     return px, py
 
 
-def _chunk_terms(buf, remaining, px, py):
-    """buf [ROWS, CK] attribute slab → alpha terms [P, CK]."""
+def _chunk_terms(buf, lo, hi, px, py):
+    """buf [ROWS, CK] attribute slab → alpha terms [P, CK].
+
+    Valid lanes are [lo, hi): chunk windows are 128-aligned in the instance
+    array (Mosaic requires aligned lane-dim DMA), so the first window of a
+    tile leads in with up to CHUNK−1 lanes belonging to the previous tile's
+    segment tail, masked here.
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    vl = (lane < remaining).astype(jnp.float32)
+    vl = ((lane >= lo) & (lane < hi)).astype(jnp.float32)
     xs, ys = buf[0:1, :], buf[1:2, :]
     ca, cb, cc = buf[2:3, :], buf[3:4, :], buf[4:5, :]
     op = buf[5:6, :]
@@ -67,12 +76,15 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
     px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
     start = start_ref[t]
     count = count_ref[t]
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    # Segment offsets are unaligned; DMA 128-aligned windows covering the
+    # segment and mask the lead-in lanes (off = start mod CHUNK).
+    off = jax.lax.rem(start, CHUNK)
+    base = pl.multiple_of(start - off, CHUNK)
+    n_chunks = (off + count + CHUNK - 1) // CHUNK
 
     def dma(c, slot):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(off, CHUNK)],
+            attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             buf.at[slot], sem.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -93,8 +105,8 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
                 dma(c, slot).start()
 
         dma(c, slot).wait()
-        _, _, _, alpha, contrib, _ = _chunk_terms(buf[slot], count - c * CHUNK,
-                                                  px, py)
+        _, _, _, alpha, contrib, _ = _chunk_terms(
+            buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
         include, t_excl, t_mono, t_fin = _chunk_include(alpha, contrib,
                                                         t_mono, t_fin)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
@@ -129,14 +141,16 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
 
 def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
                        tfin_ref, gout_ref, gtfin_ref, gattrs_ref,
-                       buf, gbuf, sem, gsem, *,
+                       buf, gbuf, gprev, sem, gsem, psem, *,
                        tiles_x: int, tile_w: int, tile_h: int):
     p = tile_w * tile_h
     t = pl.program_id(0)
     px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
     start = start_ref[t]
     count = count_ref[t]
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    off = jax.lax.rem(start, CHUNK)
+    base = pl.multiple_of(start - off, CHUNK)
+    n_chunks = (off + count + CHUNK - 1) // CHUNK
 
     g_out = gout_ref[0, :, :]                     # [P, 3]
     t_fin = tfin_ref[0, :, :].reshape(p, 1)
@@ -146,21 +160,29 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
     g_dot_out = jnp.sum(g_out * out_sav, axis=1, keepdims=True)
 
     def dma_in(c, slot):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(off, CHUNK)],
+            attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             buf.at[slot], sem.at[slot])
 
     def dma_out(c, slot):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        # Chunk windows are 128-aligned over unaligned segments, so the FIRST
+        # window of this tile shares a block with the previous tile's tail:
+        # its lead-in lanes (< off) are read-merged from gattrs below (the
+        # previous tile's writes have drained — sequential grid + end-of-step
+        # waits). Tail spill lanes (zeros) past this segment are rewritten by
+        # the next non-empty tile's first window, or land in the CHUNK slack
+        # columns of gattrs.
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            gattrs_ref.at[:, pl.ds(off, CHUNK)],
+            gattrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             gsem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
         dma_in(0, 0).start()
+        # previous tile's gradients in the shared boundary block
+        pltpu.make_async_copy(gattrs_ref.at[:, pl.ds(base, CHUNK)],
+                              gprev, psem).start()
 
     def body(c, state):
         t_mono, t_fin_run, prefix = state
@@ -177,7 +199,7 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
             dma_out(c - 2, slot).wait()
 
         dx, dy, g, alpha, contrib, (ca, cb, cc, op) = _chunk_terms(
-            buf[slot], count - c * CHUNK, px, py)
+            buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
         include, t_excl, t_new, tf_new = _chunk_include(alpha, contrib,
                                                         t_mono, t_fin_run)
         w = jnp.where(include, alpha * t_excl, 0.0)
@@ -216,6 +238,16 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
         gbuf[slot, 5:6, :] = jnp.sum(dop, axis=0, keepdims=True)
         gbuf[slot, 6:9, :] = g_rgb
         gbuf[slot, 9:, :] = jnp.zeros((ROWS - 9, CHUNK), jnp.float32)
+
+        # First window: preserve the previous tile's gradients in the shared
+        # boundary block (lanes < off).
+        @pl.when(c == 0)
+        def _():
+            pltpu.make_async_copy(gattrs_ref.at[:, pl.ds(base, CHUNK)],
+                                  gprev, psem).wait()
+            lane2d = jax.lax.broadcasted_iota(jnp.int32, (ROWS, CHUNK), 1)
+            gbuf[slot] = jnp.where(lane2d < off, gprev[...], gbuf[slot])
+
         dma_out(c, slot).start()
 
         return t_new, tf_new, cums[:, -1:]
@@ -235,18 +267,19 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def composite_stream(attrs, region_start, counts, bg,
+def composite_stream(attrs, seg_start, counts, bg,
                      tiles_x: int, tile_w: int, tile_h: int,
                      interpret: bool = False):
-    """attrs [16, CAP] packed rows; region_start/counts [T] (CHUNK-aligned
-    regions); bg [3] → (out [T, P, 3], final_T [T, P])."""
-    return _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x, tile_w,
+    """attrs [16, CAP + CHUNK] packed rows (tile-sorted instances, segment-
+    direct); seg_start/counts [T] (arbitrary offsets); bg [3]
+    → (out [T, P, 3], final_T [T, P])."""
+    return _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w,
                             tile_h, interpret)
 
 
-def _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x, tile_w, tile_h,
+def _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
                      interpret):
-    t = region_start.shape[0]
+    t = seg_start.shape[0]
     p = tile_w * tile_h
     kernel = functools.partial(_stream_fwd_kernel, tiles_x=tiles_x,
                                tile_w=tile_w, tile_h=tile_h)
@@ -276,21 +309,21 @@ def _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x, tile_w, tile_h,
             jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(region_start, counts, attrs, bg.reshape(1, 3))
+    )(seg_start, counts, attrs, bg.reshape(1, 3))
     return out, tfin.reshape(t, p)
 
 
-def _stream_vjp_fwd(attrs, region_start, counts, bg, tiles_x, tile_w, tile_h,
+def _stream_vjp_fwd(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
                     interpret):
-    out, tfin = _stream_fwd_impl(attrs, region_start, counts, bg, tiles_x,
+    out, tfin = _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x,
                                  tile_w, tile_h, interpret)
-    return (out, tfin), (attrs, region_start, counts, bg, out, tfin)
+    return (out, tfin), (attrs, seg_start, counts, bg, out, tfin)
 
 
 def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
-    attrs, region_start, counts, bg, out, tfin = res
+    attrs, seg_start, counts, bg, out, tfin = res
     g_out, g_tfin = cts
-    t = region_start.shape[0]
+    t = seg_start.shape[0]
     p = tile_w * tile_h
     kernel = functools.partial(_stream_bwd_kernel, tiles_x=tiles_x,
                                tile_w=tile_w, tile_h=tile_h)
@@ -313,8 +346,10 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((ROWS, CHUNK), jnp.float32),   # gprev (boundary block)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     cap = attrs.shape[1]
@@ -324,7 +359,7 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
         out_shape=[jax.ShapeDtypeStruct((ROWS, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(region_start, counts, attrs, bg.reshape(1, 3), out,
+    )(seg_start, counts, attrs, bg.reshape(1, 3), out,
       tfin.reshape(t, 1, p), g_out, g_tfin.reshape(t, 1, p))
     g_bg = jnp.einsum("tpc,tp->c", g_out, tfin)
     return (gattrs, None, None, g_bg)

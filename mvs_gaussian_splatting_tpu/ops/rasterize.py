@@ -92,6 +92,7 @@ def _rasterize_stream(processed: Processed, image_width: int,
 
     tile_w, tile_h = config.tile_w, config.tile_h
     num_tiles = tiles_x * tiles_y
+    assert config.instance_cap % 128 == 0, "instance_cap must be CHUNK-aligned"
     bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
                                 config.instance_cap)
@@ -115,7 +116,7 @@ def _rasterize_stream(processed: Processed, image_width: int,
     attrs = inst.T                                     # [16, CAP]
 
     tiles_out, final_T = composite_stream(
-        attrs, bins.region_start, bins.counts, bg_color,
+        attrs, bins.seg_start, bins.counts, bg_color,
         tiles_x, tile_w, tile_h, interpret)
     tiles_out = tiles_out.transpose(0, 2, 1)          # [T, 3, P]
 

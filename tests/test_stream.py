@@ -61,21 +61,23 @@ class TestStreamBinning:
         np.testing.assert_array_equal(np.asarray(bins_new.counts_raw),
                                       np.asarray(bins_old.counts))
 
-    def test_regions_aligned_and_depth_sorted(self):
+    def test_segments_depth_sorted(self):
         cam, args = make_inputs()
         means, scales, quats, opac, colors = args
         p = preprocess(means, opac, cam, W, H, scales=scales, rotations=quats,
                        colors_precomp=colors)
         bins = bin_instances_stream(p, TILES_X, TILES_Y, 64, 1 << 14)
-        rs = np.asarray(bins.region_start)
-        assert (rs % 128 == 0).all()
+        ss = np.asarray(bins.seg_start)
         depth = np.asarray(p.depth)
         ig = np.asarray(bins.inst_gauss)
         valid = np.asarray(bins.inst_valid)
         counts = np.asarray(bins.counts)
+        # segments tile the valid prefix contiguously
+        np.testing.assert_array_equal(ss[1:], ss[:-1] + counts[:-1])
+        assert valid.sum() == counts.sum()
         for t in range(TILES_X * TILES_Y):
-            seg = ig[rs[t]:rs[t] + counts[t]]
-            assert valid[rs[t]:rs[t] + counts[t]].all()
+            seg = ig[ss[t]:ss[t] + counts[t]]
+            assert valid[ss[t]:ss[t] + counts[t]].all()
             d = depth[seg]
             assert (np.diff(d) >= 0).all(), f"tile {t} not depth sorted"
 
