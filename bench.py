@@ -90,10 +90,17 @@ def main():
     jax.block_until_ready(grads)
     overflow = int(aux["overflow_capacity"])
 
+    # Vary one input per iteration AND per run: the serving tunnel memoizes
+    # executions with previously-seen (program, input-value) pairs, which
+    # would fake arbitrarily fast steps. A time-derived base offset makes
+    # every run's inputs unique; 1e-9-scale offsets don't change the
+    # workload shape.
     iters = 10
+    run_salt = (time.time_ns() % 997) * 1e-9
     t0 = time.perf_counter()
-    for _ in range(iters):
-        grads, aux = step(means, log_scales, quats, opac_logit, shs)
+    for i in range(iters):
+        grads, aux = step(means + (run_salt + 1e-6 * (i + 1)), log_scales,
+                          quats, opac_logit, shs)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / iters
 

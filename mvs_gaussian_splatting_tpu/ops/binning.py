@@ -79,10 +79,17 @@ def bin_gaussians(processed: Processed, tiles_x: int, tiles_y: int,
 
 class StreamBins(NamedTuple):
     """Instance-stream layout: the tile-sorted instance list itself, consumed
-    segment-direct by ops/pallas/stream.py (no region re-layout)."""
+    segment-direct by ops/pallas/stream.py (no region re-layout).
 
-    inst_gauss: jnp.ndarray     # [CAP + CHUNK] int32 Gaussian index per slot
+    Instances are identified by their DEPTH RANK (row into the depth-sorted
+    Gaussian order), not the raw Gaussian index: consumers gather attributes
+    from a depth-permuted table (``table[order]``) so that, when tile and
+    rank bits fit in an i32, the tile sort runs on one packed key array with
+    no payload operand. ``order[inst_rank]`` recovers Gaussian indices."""
+
+    inst_rank: jnp.ndarray      # [CAP + CHUNK] int32 depth-rank per slot
     inst_valid: jnp.ndarray     # [CAP + CHUNK] bool
+    order: jnp.ndarray          # [N] int32 depth-ascending Gaussian order
     seg_start: jnp.ndarray      # [T] int32 segment offsets (UNALIGNED)
     counts: jnp.ndarray         # [T] int32 valid instances per tile (clipped)
     counts_raw: jnp.ndarray     # [T] int32 pre-clip intersection counts
@@ -133,14 +140,31 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
     overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
 
-    gauss_id = jnp.broadcast_to(order[:, None], (n, d))
-    sorted_tile, sorted_gauss = jax.lax.sort(
-        (tile_id.reshape(-1), gauss_id.reshape(-1)), num_keys=1,
-        is_stable=True)
+    rank_bits = max((n - 1).bit_length(), 1)
+    tile_bits = (num_tiles + 1 - 1).bit_length()
+    rank = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, d))
+    if rank_bits + tile_bits <= 31:
+        # One packed key, no payload operand: halves sort data movement.
+        # Instances are enumerated in depth order, so the rank low bits give
+        # exactly the stable (tile, depth) order of a 2-key sort.
+        key = (tile_id << rank_bits) | rank
+        (sorted_key,) = jax.lax.sort((key.reshape(-1),), num_keys=1,
+                                     is_stable=False)
+        sorted_rank = sorted_key & ((1 << rank_bits) - 1)
+        bound = lambda t: (t << rank_bits).astype(jnp.int32)
+    else:
+        sorted_tile, sorted_rank = jax.lax.sort(
+            (tile_id.reshape(-1), rank.reshape(-1)), num_keys=1,
+            is_stable=True)
+        sorted_key = sorted_tile
+        bound = lambda t: t.astype(jnp.int32) if hasattr(t, "astype") else jnp.int32(t)
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(sorted_tile, tile_range, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(sorted_tile, tile_range, side="right").astype(jnp.int32)
+    seg_start = jnp.searchsorted(sorted_key, bound(tile_range),
+                                 side="left").astype(jnp.int32)
+    n_valid = jnp.searchsorted(sorted_key, bound(jnp.int32(num_tiles)),
+                               side="left").astype(jnp.int32)
+    seg_end = jnp.concatenate([seg_start[1:], n_valid[None]])
     counts_raw = seg_end - seg_start
 
     # Segments past `cap` are truncated depth-last (per tile), counted.
@@ -150,16 +174,14 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     total = cap + chunk  # slack for the last tile's chunk-granular DMA spill
     m = n * d
     if m >= total:
-        sg = sorted_gauss[:total]
+        sr = sorted_rank[:total]
     else:
-        sg = jnp.pad(sorted_gauss, (0, total - m))
-    n_valid = jnp.searchsorted(sorted_tile, jnp.int32(num_tiles),
-                               side="left").astype(jnp.int32)
+        sr = jnp.pad(sorted_rank, (0, total - m))
     q = jnp.arange(total, dtype=jnp.int32)
     valid_q = q < jnp.minimum(n_valid, cap)
-    inst_gauss = jnp.where(valid_q, sg, 0)
+    inst_rank = jnp.where(valid_q, sr, 0)
 
-    return StreamBins(inst_gauss=inst_gauss, inst_valid=valid_q,
+    return StreamBins(inst_rank=inst_rank, inst_valid=valid_q, order=order,
                       seg_start=seg_start, counts=counts,
                       counts_raw=counts_raw,
                       overflow_tiles=overflow_tiles,

@@ -96,14 +96,16 @@ def _rasterize_stream(processed: Processed, image_width: int,
     bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
                                 config.instance_cap)
-    ig = bins.inst_gauss
+    ir = bins.inst_rank
     v = bins.inst_valid
-    # Pack per-Gaussian attributes into one [N, 16] struct and gather whole
-    # rows per instance — a single 64-byte-row gather instead of 9 scalar
-    # gathers (TPU gathers are row-DMA-bound; scalar gathers ran at ~60M
-    # elem/s in profiling). The validity gate's where() transpose keeps
-    # uninitialized gradient memory in out-of-region columns from
-    # scatter-adding into Gaussian 0.
+    # Pack per-Gaussian attributes into one [N, 16] struct, permute it into
+    # depth order (so instance slots index it directly by depth rank), and
+    # gather whole rows per instance — a single 64-byte-row gather instead of
+    # 9 scalar gathers (TPU gathers are row-DMA-bound; scalar gathers ran at
+    # ~60M elem/s in profiling). The validity gate's where() transpose keeps
+    # uninitialized gradient memory in out-of-segment columns from
+    # scatter-adding into rank 0; the depth permutation's transpose unsorts
+    # the [N, 16] gradient table back to Gaussian order (an N-row scatter).
     n = processed.xy.shape[0]
     table = jnp.concatenate([
         processed.xy,                                  # 0, 1
@@ -111,9 +113,9 @@ def _rasterize_stream(processed: Processed, image_width: int,
         processed.opacity[:, None],                    # 5
         processed.rgb,                                 # 6, 7, 8
         jnp.zeros((n, ROWS - 9)),
-    ], axis=1)                                         # [N, 16]
-    inst = jnp.where(v[:, None], table[ig], 0.0)       # [CAP, 16]
-    attrs = inst.T                                     # [16, CAP]
+    ], axis=1)[bins.order]                             # [N, 16] depth-ordered
+    inst = jnp.where(v[:, None], table[ir], 0.0)       # [CAP + CHUNK, 16]
+    attrs = inst.T                                     # [16, CAP + CHUNK]
 
     tiles_out, final_T = composite_stream(
         attrs, bins.seg_start, bins.counts, bg_color,

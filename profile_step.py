@@ -1,4 +1,8 @@
-"""Component-level timing of the 1080p fwd+bwd step (dev tool, not a test)."""
+"""Component-level timing of the 1080p fwd+bwd step (dev tool).
+
+All timing loops perturb one input per iteration: the serving tunnel
+memoizes executions with bit-identical input buffers.
+"""
 import math, sys, time
 import numpy as np
 sys.path.insert(0, "/root/repo")
@@ -10,6 +14,7 @@ from bench import build_scene
 from mvs_gaussian_splatting_tpu.ops.preprocess import preprocess
 from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig, rasterize
 from mvs_gaussian_splatting_tpu.ops.binning import bin_instances_stream
+from mvs_gaussian_splatting_tpu.ops.pallas.stream import ROWS, composite_stream
 from mvs_gaussian_splatting_tpu.utils.transforms import normalize
 
 W, H = 1920, 1088
@@ -21,51 +26,86 @@ bg = jnp.zeros(3)
 tiles_x, tiles_y = -(-W // cfg.tile_w), -(-H // cfg.tile_h)
 
 
-def timeit(f, *args, iters=20):
-    o = f(*args); jax.block_until_ready(o)
+def timeit(f, iters=10):
+    """f(eps_scalar) -> outputs; eps unique per iteration AND per run (the
+    serving tunnel memoizes previously-seen (program, input-value) pairs)."""
+    salt = (time.time_ns() % 997) * 1e-9
+    o = f(jnp.float32(salt)); jax.block_until_ready(o)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        o = f(*args)
+    for i in range(iters):
+        o = f(jnp.float32(salt + 1e-6 * (i + 1)))
     jax.block_until_ready(o)
     return (time.perf_counter() - t0) / iters * 1000
 
 
-pre = jax.jit(lambda m, ls, q, ol, s: preprocess(
-    m, jax.nn.sigmoid(ol), cam, W, H, scales=jnp.exp(ls),
-    rotations=normalize(q), shs=s, sh_degree=3,
-    tile_w=cfg.tile_w, tile_h=cfg.tile_h))
-t_pre = timeit(pre, means, log_scales, quats, opac_logit, shs)
-p = pre(means, log_scales, quats, opac_logit, shs)
+def pre_fn(eps):
+    return preprocess(means + eps, jax.nn.sigmoid(opac_logit), cam, W, H,
+                      scales=jnp.exp(log_scales), rotations=normalize(quats),
+                      shs=shs, sh_degree=3, tile_w=cfg.tile_w, tile_h=cfg.tile_h)
 
-binf = jax.jit(lambda p: bin_instances_stream(p, tiles_x, tiles_y,
-                                              cfg.max_tiles_per_gaussian,
-                                              cfg.instance_cap))
-t_bin = timeit(binf, p)
+pre = jax.jit(pre_fn)
+t_pre = timeit(pre)
+p = pre(jnp.float32(0.0))
+jax.block_until_ready(p)
 
-fwd = jax.jit(lambda p: rasterize(p, W, H, bg, cfg)[0])
-t_fwd_only = timeit(fwd, p)  # composite fwd given processed (incl. binning)
+binf = jax.jit(lambda eps: bin_instances_stream(
+    p._replace(depth=p.depth + eps), tiles_x, tiles_y,
+    cfg.max_tiles_per_gaussian, cfg.instance_cap))
+t_bin = timeit(binf)
+bins = binf(jnp.float32(0.0))
+jax.block_until_ready(bins)
 
+# pack (gather + where + transpose)
+def pack_fn(eps):
+    table = jnp.concatenate([p.xy + eps, p.conic, p.opacity[:, None], p.rgb,
+                             jnp.zeros((N, ROWS - 9))], axis=1)[bins.order]
+    return jnp.where(bins.inst_valid[:, None], table[bins.inst_rank], 0.0).T
 
-def loss_fn(m, ls, q, ol, s):
-    pp = preprocess(m, jax.nn.sigmoid(ol), cam, W, H, scales=jnp.exp(ls),
-                    rotations=normalize(q), shs=s, sh_degree=3,
-                    tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+packj = jax.jit(pack_fn)
+t_pack = timeit(packj)
+attrs = packj(jnp.float32(0.0))
+jax.block_until_ready(attrs)
+
+# kernel fwd alone
+fwdk = jax.jit(lambda eps: composite_stream(
+    attrs + eps, bins.seg_start, bins.counts, bg, tiles_x,
+    cfg.tile_w, cfg.tile_h, False))
+t_fwdk = timeit(fwdk)
+
+# kernel fwd+bwd (isolated custom vjp)
+def loss_k(a):
+    out, tfin = composite_stream(a, bins.seg_start, bins.counts, bg,
+                                 tiles_x, cfg.tile_w, cfg.tile_h, False)
+    return out.mean()
+gradk = jax.jit(lambda eps: jax.grad(loss_k)(attrs + eps))
+t_gradk = timeit(gradk)
+
+# full fwd / full fwd+bwd
+def loss_fn(eps):
+    pp = pre_fn(eps)
     img, aux = rasterize(pp, W, H, bg, cfg)
     return img.mean()
 
 full_fwd = jax.jit(loss_fn)
-t_full_fwd = timeit(full_fwd, means, log_scales, quats, opac_logit, shs)
-step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
-t_step = timeit(step, means, log_scales, quats, opac_logit, shs, iters=10)
+t_full_fwd = timeit(full_fwd)
+step = jax.jit(jax.grad(lambda m, ls, q, ol, s: rasterize(
+    preprocess(m, jax.nn.sigmoid(ol), cam, W, H, scales=jnp.exp(ls),
+               rotations=normalize(q), shs=s, sh_degree=3,
+               tile_w=cfg.tile_w, tile_h=cfg.tile_h),
+    W, H, bg, cfg)[0].mean(), argnums=(0, 1, 2, 3, 4)))
 
-# preprocess grad alone
-pre_loss = jax.jit(jax.grad(lambda m, ls, q, ol, s: sum(
-    jnp.sum(x) for x in [pre(m, ls, q, ol, s).xy.sum()] )  # dummy
-    , argnums=(0,)))
+def step_f(eps):
+    return step(means + eps, log_scales, quats, opac_logit, shs)
+t_step = timeit(step_f)
 
-print(f"preprocess fwd      : {t_pre:7.2f} ms")
-print(f"binning (stream)    : {t_bin:7.2f} ms")
-print(f"fwd raster(given p) : {t_fwd_only:7.2f} ms (incl binning)")
-print(f"full fwd            : {t_full_fwd:7.2f} ms")
-print(f"full fwd+bwd        : {t_step:7.2f} ms")
-print(f"  -> implied bwd    : {t_step - t_full_fwd:7.2f} ms")
+counts_np = np.asarray(bins.counts)
+ss_np = np.asarray(bins.seg_start)
+chunks = int((((ss_np % 128) + counts_np + 127) // 128).sum())
+print(f"instances={counts_np.sum()}  window-chunks={chunks}")
+print(f"preprocess fwd       : {t_pre:7.2f} ms")
+print(f"binning              : {t_bin:7.2f} ms")
+print(f"pack (gather+T)      : {t_pack:7.2f} ms")
+print(f"kernel fwd           : {t_fwdk:7.2f} ms")
+print(f"kernel fwd+bwd       : {t_gradk:7.2f} ms (bwd ~{t_gradk - t_fwdk:.2f})")
+print(f"full fwd             : {t_full_fwd:7.2f} ms")
+print(f"full fwd+bwd         : {t_step:7.2f} ms")

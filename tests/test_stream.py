@@ -69,7 +69,7 @@ class TestStreamBinning:
         bins = bin_instances_stream(p, TILES_X, TILES_Y, 64, 1 << 14)
         ss = np.asarray(bins.seg_start)
         depth = np.asarray(p.depth)
-        ig = np.asarray(bins.inst_gauss)
+        ig = np.asarray(bins.order)[np.asarray(bins.inst_rank)]
         valid = np.asarray(bins.inst_valid)
         counts = np.asarray(bins.counts)
         # segments tile the valid prefix contiguously
