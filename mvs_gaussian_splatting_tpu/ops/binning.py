@@ -22,6 +22,23 @@ import jax.numpy as jnp
 from .preprocess import Processed
 
 
+def _tile_in_level_set(xy, cull_r2, tx, ty, tile_w: int, tile_h: int):
+    """True if the tile's pixel rect intersects the splat's alpha>=1/255
+    level-set disc (squared max radius ``cull_r2``). Exactly conservative:
+    pixels of culled tiles fail the compositing alpha test in every backend
+    and in the CUDA reference, so culling them cannot change outputs.
+
+    xy [N, 2] f32; cull_r2 [N] f32; tx, ty [N, d] int32.
+    """
+    x = xy[:, 0:1]
+    y = xy[:, 1:2]
+    tx_px = tx.astype(jnp.float32) * tile_w
+    ty_px = ty.astype(jnp.float32) * tile_h
+    dx = jnp.maximum(jnp.maximum(tx_px - x, x - (tx_px + tile_w - 1)), 0.0)
+    dy = jnp.maximum(jnp.maximum(ty_px - y, y - (ty_px + tile_h - 1)), 0.0)
+    return dx * dx + dy * dy <= cull_r2[:, None]
+
+
 class TileBins(NamedTuple):
     gauss_idx: jnp.ndarray   # [T, K] int32 indices into the Gaussian arrays
     valid: jnp.ndarray       # [T, K] bool
@@ -31,7 +48,8 @@ class TileBins(NamedTuple):
 
 
 def bin_gaussians(processed: Processed, tiles_x: int, tiles_y: int,
-                  max_tiles_per_gaussian: int, tile_capacity: int) -> TileBins:
+                  max_tiles_per_gaussian: int, tile_capacity: int,
+                  tile_w: int = 16, tile_h: int = 16) -> TileBins:
     n = processed.xy.shape[0]
     d = max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
@@ -47,6 +65,8 @@ def bin_gaussians(processed: Processed, tiles_x: int, tiles_y: int,
     ty = rect_min[:, 1, None] + j[None, :] // span_x_safe[:, None]
     tx = rect_min[:, 0, None] + j[None, :] % span_x_safe[:, None]
     inst_valid = j[None, :] < jnp.minimum(area, d)[:, None]  # [n, d]
+    inst_valid &= _tile_in_level_set(processed.xy, processed.cull_r2, tx, ty,
+                                     tile_w, tile_h)
     tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
@@ -99,7 +119,8 @@ class StreamBins(NamedTuple):
 
 def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          max_tiles_per_gaussian: int, cap: int,
-                         chunk: int = 128) -> StreamBins:
+                         chunk: int = 128, tile_w: int = 16,
+                         tile_h: int = 16) -> StreamBins:
     """Depth-presorted, single-key tile sort consumed in segment layout.
 
     Gaussians are depth-sorted once (N entries), instances enumerated in that
@@ -120,13 +141,16 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     depth_key = jnp.where(processed.mask, processed.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # [N]
 
-    # one row-gather for all rect data (scalar gathers are slow on TPU)
+    # one row-gather for all rect data (scalar gathers are slow on TPU);
+    # rect coords carried as f32 (exact for values < 2^24)
     rect_table = jnp.concatenate(
-        [processed.rect_min, processed.rect_max,
-         processed.mask[:, None].astype(jnp.int32)], axis=1)       # [N, 5]
+        [processed.rect_min.astype(jnp.float32),
+         processed.rect_max.astype(jnp.float32),
+         processed.mask[:, None].astype(jnp.float32),
+         processed.xy, processed.cull_r2[:, None]], axis=1)        # [N, 8]
     rect_o = rect_table[order]
-    rect_min = rect_o[:, 0:2]
-    rect_max = rect_o[:, 2:4]
+    rect_min = rect_o[:, 0:2].astype(jnp.int32)
+    rect_max = rect_o[:, 2:4].astype(jnp.int32)
     mask_o = rect_o[:, 4] > 0
     span_x = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0)
     span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
@@ -137,6 +161,8 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     ty = rect_min[:, 1, None] + j[None, :] // span_x_safe[:, None]
     tx = rect_min[:, 0, None] + j[None, :] % span_x_safe[:, None]
     inst_valid = j[None, :] < jnp.minimum(area, d)[:, None]
+    inst_valid &= _tile_in_level_set(rect_o[:, 5:7], rect_o[:, 7], tx, ty,
+                                     tile_w, tile_h)
     tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
     overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
 

@@ -184,8 +184,8 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
         pltpu.make_async_copy(gattrs_ref.at[:, pl.ds(base, CHUNK)],
                               gprev, psem).start()
 
-    def body(c, state):
-        t_mono, t_fin_run, prefix = state
+    def body(state):
+        c, t_mono, t_fin_run, prefix = state
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -250,11 +250,37 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
         dma_out(c, slot).start()
 
-        return t_new, tf_new, cums[:, -1:]
+        return c + 1, t_new, tf_new, cums[:, -1:]
 
-    init = (jnp.ones((p, 1), jnp.float32), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32))
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    def cond(state):
+        c, t_mono, _, _ = state
+        return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
+
+    init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+            jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
+    c_end, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Early termination mirror of the forward: chunks past c_end have
+    # include=0 everywhere, so their VALID slots' gradients are exactly zero —
+    # but gattrs is uninitialized output memory, so the zeros must still be
+    # WRITTEN. Drain loop: DMA-only zero writes, no attr reads / compute.
+    @pl.when(c_end < n_chunks)
+    def _():
+        # the prefetched dma_in for chunk c_end is in flight — drain it
+        dma_in(c_end, c_end % 2).wait()
+
+        def zbody(c, _):
+            # c >= c_end >= 1 here (chunk 0 always runs in the main loop, so
+            # the boundary-preserve merge never lands in the drain)
+            slot = c % 2
+            @pl.when(c >= 2)
+            def _():
+                dma_out(c - 2, slot).wait()
+            gbuf[slot] = jnp.zeros((ROWS, CHUNK), jnp.float32)
+            dma_out(c, slot).start()
+            return 0
+
+        jax.lax.fori_loop(c_end, n_chunks, zbody, 0)
 
     # drain outstanding gradient writes
     @pl.when(n_chunks >= 2)

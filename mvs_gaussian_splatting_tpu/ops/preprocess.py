@@ -59,6 +59,10 @@ class Processed(NamedTuple):
     rect_min: jnp.ndarray  # [N, 2] int32 tile-coords (x, y), inclusive
     rect_max: jnp.ndarray  # [N, 2] int32 tile-coords, exclusive
     mask: jnp.ndarray      # [N] bool, visible
+    cull_r2: jnp.ndarray   # [N] squared max radius of the alpha>=1/255 level
+                           # set (2·ln(255·op)·λmax(Σ2D)); tiles whose pixel
+                           # rect is entirely farther than this contribute 0
+                           # and may be culled exactly (stop-gradient)
 
 
 def _tile_rect(xy, ext_x, ext_y, tiles_x: int, tiles_y: int,
@@ -189,6 +193,9 @@ def preprocess(
     sg = jax.lax.stop_gradient
     ext_x = jnp.clip(jnp.sqrt(c0 * sg(cxx)) + 0.5, 1.0, sg(radius_f))
     ext_y = jnp.clip(jnp.sqrt(c0 * sg(cyy)) + 0.5, 1.0, sg(radius_f))
+    # max level-set radius² (major axis): c0·λmax(Σ2D); +1px margin squared
+    cull_r2 = sg(c0 * lambda1)
+    cull_r2 = cull_r2 + 2.0 * jnp.sqrt(cull_r2) + 1.0
     rect_min, rect_max = _tile_rect(xy, ext_x, ext_y, tiles_x, tiles_y,
                                     tile_w, tile_h)
     area = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 0) * jnp.maximum(
@@ -206,4 +213,5 @@ def preprocess(
 
     return Processed(xy=xy, depth=depth, conic=conic, rgb=rgb,
                      opacity=opacities, radius=radius,
-                     rect_min=rect_min, rect_max=rect_max, mask=visible)
+                     rect_min=rect_min, rect_max=rect_max, mask=visible,
+                     cull_r2=cull_r2)

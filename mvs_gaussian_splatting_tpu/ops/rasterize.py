@@ -95,7 +95,8 @@ def _rasterize_stream(processed: Processed, image_width: int,
     assert config.instance_cap % 128 == 0, "instance_cap must be CHUNK-aligned"
     bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
-                                config.instance_cap)
+                                config.instance_cap, tile_w=tile_w,
+                                tile_h=tile_h)
     ir = bins.inst_rank
     v = bins.inst_valid
     # Pack per-Gaussian attributes into one [N, 16] struct, permute it into
@@ -168,7 +169,9 @@ def rasterize(processed: Processed, image_width: int, image_height: int,
 
     if bins is None:
         bins = bin_gaussians(jax.lax.stop_gradient(processed), tiles_x, tiles_y,
-                             config.max_tiles_per_gaussian, config.tile_capacity)
+                             config.max_tiles_per_gaussian,
+                             config.tile_capacity, tile_w=tile_w,
+                             tile_h=tile_h)
 
     # Gather per-tile attribute lists (bandwidth-bound XLA gathers).
     idx = bins.gauss_idx                    # [T, K]

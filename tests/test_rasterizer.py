@@ -109,9 +109,18 @@ class TestBinning:
         rect_min = np.asarray(p.rect_min)
         rect_max = np.asarray(p.rect_max)
         mask = np.asarray(p.mask)
+        xy = np.asarray(p.xy)
+        cull_r2 = np.asarray(p.cull_r2)
         for t in range(tiles_x * tiles_y):
             tx, ty = t % tiles_x, t // tiles_x
-            expected = int(np.sum(mask & (rect_min[:, 0] <= tx) & (tx < rect_max[:, 0])
+            # rect membership ∩ level-set disc test (binning's exact cull)
+            dx = np.maximum(np.maximum(tx * 16 - xy[:, 0],
+                                       xy[:, 0] - (tx * 16 + 15)), 0)
+            dy = np.maximum(np.maximum(ty * 16 - xy[:, 1],
+                                       xy[:, 1] - (ty * 16 + 15)), 0)
+            in_disc = dx * dx + dy * dy <= cull_r2
+            expected = int(np.sum(mask & in_disc
+                                  & (rect_min[:, 0] <= tx) & (tx < rect_max[:, 0])
                                   & (rect_min[:, 1] <= ty) & (ty < rect_max[:, 1])))
             assert int(bins.counts[t]) == expected
 
