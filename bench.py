@@ -85,10 +85,19 @@ def main():
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True))
 
-    # warmup / compile
+    # warmup / compile — plus two salted executions: the first run of a fresh
+    # executable with new input buffers pays a one-time ~400ms dispatch cost
+    # (tunnel-side setup), which is not per-step work. Warmup salts are
+    # negative so no timed iteration can ever hit a memoized (program, input)
+    # pair from warmup.
     grads, aux = step(means, log_scales, quats, opac_logit, shs)
     jax.block_until_ready(grads)
     overflow = int(aux["overflow_capacity"])
+    warm_salt = -(time.time_ns() % 997) * 1e-9
+    for i in range(2):
+        grads, aux = step(means + (warm_salt - 1e-6 * (i + 1)), log_scales,
+                          quats, opac_logit, shs)
+    jax.block_until_ready(grads)
 
     # Vary one input per iteration AND per run: the serving tunnel memoizes
     # executions with previously-seen (program, input-value) pairs, which
