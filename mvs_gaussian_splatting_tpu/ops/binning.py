@@ -120,7 +120,9 @@ class StreamBins(NamedTuple):
 def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          max_tiles_per_gaussian: int, cap: int,
                          chunk: int = 128, tile_w: int = 16,
-                         tile_h: int = 16) -> StreamBins:
+                         tile_h: int = 16,
+                         tier_budgets=(4, 12),
+                         tier_fracs=(0.5, 0.125)) -> StreamBins:
     """Depth-presorted, single-key tile sort consumed in segment layout.
 
     Gaussians are depth-sorted once (N entries), instances enumerated in that
@@ -133,6 +135,18 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     padding at typical loads). ``CHUNK`` slack columns at the tail absorb the
     last tile's chunk-granular DMA spill. All truncation is counted, never
     silent.
+
+    Tiered instance budgets: a flat per-Gaussian budget of
+    ``max_tiles_per_gaussian`` wastes most sort traffic (median rect area is
+    a few tiles; the p99 tail needs the full budget). Instead every Gaussian
+    gets ``tier_budgets[0]`` slots, the largest ``tier_fracs[0]·N`` (by rect
+    area, one argsort) get budget ``tier_budgets[1]``, the largest
+    ``tier_fracs[1]·N`` the full ``max_tiles_per_gaussian`` — nested
+    area-rank prefixes, so the emitted tile set per Gaussian is identical to
+    the flat budget whenever each tier's prefix covers every Gaussian larger
+    than its threshold (each prefix is floored at min(N, 512), so small
+    scenes are always exact). Shortfall is counted in ``overflow_tiles``,
+    never silent. Pass ``tier_budgets=()`` for the flat single-tier layout.
     """
     n = processed.xy.shape[0]
     d = max_tiles_per_gaussian
@@ -156,32 +170,76 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     span_y = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0)
     area = jnp.where(mask_o, span_x * span_y, 0)
 
-    j = jnp.arange(d, dtype=jnp.int32)
-    span_x_safe = jnp.maximum(span_x, 1)
-    ty = rect_min[:, 1, None] + j[None, :] // span_x_safe[:, None]
-    tx = rect_min[:, 0, None] + j[None, :] % span_x_safe[:, None]
-    inst_valid = j[None, :] < jnp.minimum(area, d)[:, None]
-    inst_valid &= _tile_in_level_set(rect_o[:, 5:7], rect_o[:, 7], tx, ty,
-                                     tile_w, tile_h)
-    tile_id = jnp.where(inst_valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-    overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
-
     rank_bits = max((n - 1).bit_length(), 1)
     tile_bits = (num_tiles + 1 - 1).bit_length()
-    rank = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, d))
-    if rank_bits + tile_bits <= 31:
+    packed = rank_bits + tile_bits <= 31
+    sentinel = ((num_tiles << rank_bits) if packed else num_tiles)
+
+    def enumerate_tier(rows, lo: int, hi: int, row_area, row_rect):
+        """Instance keys for tile slots j∈[lo,hi) of the Gaussians in
+        ``rows`` (depth-rank indices). Returns flat key/tile/rank arrays."""
+        j = lo + jnp.arange(hi - lo, dtype=jnp.int32)
+        rmin = row_rect[:, 0:2].astype(jnp.int32)
+        rmax = row_rect[:, 2:4].astype(jnp.int32)
+        sx = jnp.maximum(jnp.maximum(rmax[:, 0] - rmin[:, 0], 0), 1)
+        ty = rmin[:, 1, None] + j[None, :] // sx[:, None]
+        tx = rmin[:, 0, None] + j[None, :] % sx[:, None]
+        valid = j[None, :] < jnp.minimum(row_area, hi)[:, None]
+        valid &= _tile_in_level_set(row_rect[:, 5:7], row_rect[:, 7], tx, ty,
+                                    tile_w, tile_h)
+        tid = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+        rk = jnp.broadcast_to(rows[:, None], tid.shape)
+        if packed:
+            key = jnp.where(valid, (tid << rank_bits) | rk, sentinel)
+            return key.reshape(-1), None
+        return tid.reshape(-1), rk.reshape(-1)
+
+    budgets = [int(b) for b in tier_budgets if int(b) < d]
+    if budgets:
+        caps = [max(512, min(n, int(n * f)))
+                for f in tuple(tier_fracs)[:len(budgets)]]
+        aorder = jnp.argsort(-area, stable=True).astype(jnp.int32)
+        area_sorted = area[aorder]
+        bounds = [0] + budgets + [d]           # tier j-ranges
+        tiles_flat, ranks_flat = [], []
+        rows0 = jnp.arange(n, dtype=jnp.int32)
+        for t, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if t == 0:
+                k, r = enumerate_tier(rows0, lo, hi, area, rect_o)
+            else:
+                m = caps[t - 1]
+                rows = aorder[:m]
+                k, r = enumerate_tier(rows, lo, hi, area_sorted[:m],
+                                      rect_o[rows])
+            tiles_flat.append(k)
+            ranks_flat.append(r)
+        tile_or_key = jnp.concatenate(tiles_flat)
+        rank_flat = (None if packed else jnp.concatenate(ranks_flat))
+        # budget actually granted per area-rank position (static prefixes)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        bud = jnp.full((n,), budgets[0], jnp.int32)
+        for t in range(1, len(bounds) - 1):
+            bud = jnp.where(pos < caps[t - 1], bounds[t + 1], bud)
+        overflow_tiles = jnp.maximum(area_sorted - bud, 0).sum().astype(jnp.int32)
+    else:
+        k, r = enumerate_tier(jnp.arange(n, dtype=jnp.int32), 0, d, area,
+                              rect_o)
+        tile_or_key, rank_flat = k, r
+        overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
+
+    if packed:
         # One packed key, no payload operand: halves sort data movement.
         # Instances are enumerated in depth order, so the rank low bits give
         # exactly the stable (tile, depth) order of a 2-key sort.
-        key = (tile_id << rank_bits) | rank
-        (sorted_key,) = jax.lax.sort((key.reshape(-1),), num_keys=1,
+        (sorted_key,) = jax.lax.sort((tile_or_key,), num_keys=1,
                                      is_stable=False)
         sorted_rank = sorted_key & ((1 << rank_bits) - 1)
         bound = lambda t: (t << rank_bits).astype(jnp.int32)
     else:
+        # Tier blocks are not globally depth-ordered, so rank must be a real
+        # sort key (2-key sort), not recovered from enumeration stability.
         sorted_tile, sorted_rank = jax.lax.sort(
-            (tile_id.reshape(-1), rank.reshape(-1)), num_keys=1,
-            is_stable=True)
+            (tile_or_key, rank_flat), num_keys=2, is_stable=False)
         sorted_key = sorted_tile
         bound = lambda t: t.astype(jnp.int32) if hasattr(t, "astype") else jnp.int32(t)
 
@@ -198,7 +256,7 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     overflow_capacity = (counts_raw.sum() - counts.sum()).astype(jnp.int32)
 
     total = cap + chunk  # slack for the last tile's chunk-granular DMA spill
-    m = n * d
+    m = sorted_rank.shape[0]
     if m >= total:
         sr = sorted_rank[:total]
     else:

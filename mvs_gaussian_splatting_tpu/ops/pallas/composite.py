@@ -109,16 +109,29 @@ def _chunk_include(alpha, contrib, t_mono, t_fin):
 
     Returns (include [P,CK], t_excl [P,CK], t_mono_out [P,1], t_fin_out [P,1]).
     """
+    include, t_excl, t_incl, t_mono_out = _chunk_include_lanes(
+        alpha, contrib, t_mono)
+    t_fin_out = jnp.minimum(
+        t_fin, jnp.min(jnp.where(include, t_incl, jnp.inf), axis=1,
+                       keepdims=True))
+    return include, t_excl, t_mono_out, t_fin_out
+
+
+def _chunk_include_lanes(alpha, contrib, t_mono):
+    """Per-lane core of :func:`_chunk_include`, no ``t_fin`` lane reduction.
+
+    Returns (include [P,CK], t_excl [P,CK], t_incl [P,CK], t_mono_out [P,1]).
+    Callers that track final transmittance lane-wise (stream fwd kernel) fold
+    ``where(include, t_incl, inf)`` into a deferred min; callers that have the
+    saved t_fin (stream bwd kernel) skip the reduction entirely.
+    """
     one_minus = jnp.where(contrib, 1.0 - alpha, 1.0)
     incl, excl = _cumprod_lanes(one_minus)
     t_incl = t_mono * incl
     include = contrib & (t_incl >= 1e-4)
     t_excl = t_mono * excl
-    t_fin_out = jnp.minimum(
-        t_fin, jnp.min(jnp.where(include, t_incl, jnp.inf), axis=1,
-                       keepdims=True))
     t_mono_out = t_mono * incl[:, -1:]
-    return include, t_excl, t_mono_out, t_fin_out
+    return include, t_excl, t_incl, t_mono_out
 
 
 def _alpha_terms(xs, ys, ca, cb, cc, op, valid, px, py):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import _chunk_include, _cumsum_lanes
+from .composite import _chunk_include_lanes, _cumsum_lanes
 
 CHUNK = 128
 ROWS = 16
@@ -92,7 +92,7 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         dma(0, 0).start()
 
     def body(state):
-        c, t_mono, t_fin, acc = state
+        c, t_mono, tmin, acc_r, acc_g, acc_b = state
         slot = c % 2
 
         if PREFETCH:
@@ -107,24 +107,31 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         dma(c, slot).wait()
         _, _, _, alpha, contrib, _ = _chunk_terms(
             buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
-        include, t_excl, t_mono, t_fin = _chunk_include(alpha, contrib,
-                                                        t_mono, t_fin)
+        include, t_excl, t_incl, t_mono = _chunk_include_lanes(alpha, contrib,
+                                                               t_mono)
         w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
         rgb_t = buf[slot][6:9, :]                             # [3, CK]
-        # per-channel VPU multiply-reduce (exact f32; Mosaic matmuls round
-        # inputs to bf16 regardless of the precision flag)
-        acc = acc + jnp.concatenate(
-            [jnp.sum(w * rgb_t[c:c + 1, :], axis=1, keepdims=True)
-             for c in range(3)], axis=1)                       # [P, 3]
-        return c + 1, t_mono, t_fin, acc
+        # Deferred accumulation: keep per-lane partial sums (and the final-T
+        # running min) in [P, CK] accumulators; the expensive lane reductions
+        # (log2(CK) full-array shuffles each) run ONCE per tile after the
+        # loop instead of once per chunk. Exact f32 — addition order over
+        # lanes is unchanged, only chunk partials are summed lane-wise first.
+        acc_r = acc_r + w * rgb_t[0:1, :]
+        acc_g = acc_g + w * rgb_t[1:2, :]
+        acc_b = acc_b + w * rgb_t[2:3, :]
+        tmin = jnp.minimum(tmin, jnp.where(include, t_incl, jnp.inf))
+        return c + 1, t_mono, tmin, acc_r, acc_g, acc_b
 
     def cond(state):
-        c, t_mono, _, _ = state
+        c, t_mono = state[0], state[1]
         return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 3), jnp.float32))
-    c_end, _, t_fin, acc = jax.lax.while_loop(cond, body, init)
+            jnp.full((p, CHUNK), jnp.inf, jnp.float32),
+            jnp.zeros((p, CHUNK), jnp.float32),
+            jnp.zeros((p, CHUNK), jnp.float32),
+            jnp.zeros((p, CHUNK), jnp.float32))
+    c_end, _, tmin, acc_r, acc_g, acc_b = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the prefetched next chunk's DMA in flight — drain it
     # or the semaphore state corrupts the next grid step. (Without prefetch
@@ -135,6 +142,14 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
         def _():
             dma(c_end, c_end % 2).wait()
 
+    # Reassociating the sum (chunks-then-lanes instead of lanes-then-chunks)
+    # shifts final pixel values by a few f32 ulps; include/termination masks
+    # stay bit-exact (the cumprod path above is unchanged), and conformance
+    # to the jnp oracle is allclose, not bitwise.
+    acc = jnp.concatenate(
+        [jnp.sum(a, axis=1, keepdims=True) for a in (acc_r, acc_g, acc_b)],
+        axis=1)                                               # [P, 3]
+    t_fin = jnp.minimum(1.0, jnp.min(tmin, axis=1, keepdims=True))
     out_ref[0, :, :] = acc + t_fin * bg_ref[:, :]
     tfin_ref[0, :, :] = t_fin.reshape(1, p)
 
@@ -185,7 +200,7 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
                               gprev, psem).start()
 
     def body(state):
-        c, t_mono, t_fin_run, prefix = state
+        c, t_mono, prefix = state
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -200,8 +215,9 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
         dx, dy, g, alpha, contrib, (ca, cb, cc, op) = _chunk_terms(
             buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
-        include, t_excl, t_new, tf_new = _chunk_include(alpha, contrib,
-                                                        t_mono, t_fin_run)
+        # t_fin is saved from the forward; skip its lane reduction entirely.
+        include, t_excl, _, t_new = _chunk_include_lanes(alpha, contrib,
+                                                         t_mono)
         w = jnp.where(include, alpha * t_excl, 0.0)
         rgb_t = buf[slot][6:9, :]                              # [3, CK]
 
@@ -250,15 +266,15 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
         dma_out(c, slot).start()
 
-        return c + 1, t_new, tf_new, cums[:, -1:]
+        return c + 1, t_new, cums[:, -1:]
 
     def cond(state):
-        c, t_mono, _, _ = state
+        c, t_mono, _ = state
         return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
-    c_end, _, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((p, 1), jnp.float32))
+    c_end, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Early termination mirror of the forward: chunks past c_end have
     # include=0 everywhere, so their VALID slots' gradients are exactly zero —

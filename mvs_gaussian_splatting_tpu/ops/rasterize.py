@@ -33,6 +33,12 @@ class RasterConfig(NamedTuple):
     tile_batch: int = 64
     backend: str = "auto"  # "jnp" | "pallas" | "stream" | "auto"
     instance_cap: int = 1 << 21  # stream backend: packed instance slots
+    # Tiered per-Gaussian tile budgets (stream binning): every Gaussian gets
+    # tier_budgets[0] slots; the largest tier_fracs[i]·N by rect area get
+    # tier_budgets[i+1] (nested prefixes, max_tiles_per_gaussian last).
+    # () = flat budget. Shortfall is reported in overflow_tiles.
+    tier_budgets: tuple = (4, 12)
+    tier_fracs: tuple = (0.5, 0.125)
 
 
 def _tile_pixel_grid(tile_ids, tiles_x: int, tile_w: int, tile_h: int):
@@ -96,7 +102,9 @@ def _rasterize_stream(processed: Processed, image_width: int,
     bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
                                 config.instance_cap, tile_w=tile_w,
-                                tile_h=tile_h)
+                                tile_h=tile_h,
+                                tier_budgets=config.tier_budgets,
+                                tier_fracs=config.tier_fracs)
     ir = bins.inst_rank
     v = bins.inst_valid
     # Pack per-Gaussian attributes into one [N, 16] struct, permute it into

@@ -89,6 +89,57 @@ class TestStreamBinning:
         bins = bin_instances_stream(p, TILES_X, TILES_Y, 64, 256)  # tiny cap
         assert int(bins.overflow_capacity) > 0
 
+    def _big_scene(self, n=1000):
+        """Scene where >512 Gaussians have rect area above the tier-1 budget
+        (big world scales), defeating the min(N,512) prefix floor."""
+        import math as _m
+        from mvs_gaussian_splatting_tpu.utils import graphics as _g
+        fovx = _m.radians(60.0)
+        fovy = _g.focal2fov(_g.fov2focal(fovx, W), H)
+        P = _g.projection_matrix(0.01, 100.0, fovx, fovy)
+        cam = CameraView(jnp.eye(4), jnp.asarray(P), jnp.zeros(3),
+                         jnp.float32(_m.tan(fovx / 2)),
+                         jnp.float32(_m.tan(fovy / 2)))
+        rng = np.random.RandomState(7)
+        z = rng.uniform(2, 6, n)
+        means = np.stack([rng.uniform(-0.5, 0.5, n) * z,
+                          rng.uniform(-0.4, 0.4, n) * z, z],
+                         -1).astype(np.float32)
+        scales = rng.uniform(0.5, 1.5, (n, 3)).astype(np.float32)  # huge
+        return preprocess(jnp.asarray(means),
+                          jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+                          cam, W, H, scales=jnp.asarray(scales),
+                          rotations=jnp.asarray(rng.randn(n, 4).astype(np.float32)),
+                          colors_precomp=jnp.asarray(
+                              rng.rand(n, 3).astype(np.float32)))
+
+    def test_tier_prefixes_cover_exactly(self):
+        # fracs of 1.0 make every tier prefix cover all Gaussians: the tiered
+        # enumeration must emit exactly the flat-budget instance set.
+        p = self._big_scene()
+        flat = bin_instances_stream(p, TILES_X, TILES_Y, 32, 1 << 16,
+                                    tier_budgets=())
+        tiered = bin_instances_stream(p, TILES_X, TILES_Y, 32, 1 << 16,
+                                      tier_budgets=(4, 12),
+                                      tier_fracs=(1.0, 1.0))
+        np.testing.assert_array_equal(np.asarray(tiered.counts_raw),
+                                      np.asarray(flat.counts_raw))
+        np.testing.assert_array_equal(np.asarray(tiered.inst_rank),
+                                      np.asarray(flat.inst_rank))
+        assert int(tiered.overflow_tiles) == int(flat.overflow_tiles)
+
+    def test_tier_shortfall_counted(self):
+        # More big Gaussians than the tier prefix admits: instances are
+        # dropped AND the drop is visible in overflow_tiles.
+        p = self._big_scene()
+        flat = bin_instances_stream(p, TILES_X, TILES_Y, 32, 1 << 16,
+                                    tier_budgets=())
+        tiered = bin_instances_stream(p, TILES_X, TILES_Y, 32, 1 << 16,
+                                      tier_budgets=(4, 12),
+                                      tier_fracs=(0.01, 0.01))
+        assert int(tiered.counts_raw.sum()) < int(flat.counts_raw.sum())
+        assert int(tiered.overflow_tiles) > int(flat.overflow_tiles)
+
 
 class TestStreamComposite:
     def test_forward_parity(self):
