@@ -70,8 +70,10 @@ def main():
     width, height = 1920, 1088
     n = 200_000
     backend = "stream" if jax.default_backend() == "tpu" else "jnp"
-    cfg = RasterConfig(tile_capacity=1024, max_tiles_per_gaussian=32,
-                       tile_batch=256, backend=backend)
+    tile_w, tile_h = (32, 16) if backend == "stream" else (16, 16)
+    cfg = RasterConfig(tile_w=tile_w, tile_h=tile_h, tile_capacity=1024,
+                       max_tiles_per_gaussian=32, tile_batch=256,
+                       backend=backend)
     cam, (means, log_scales, quats, opac_logit, shs) = build_scene(n, width, height)
     bg = jnp.zeros(3)
 

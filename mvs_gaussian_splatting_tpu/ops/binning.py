@@ -117,6 +117,24 @@ class StreamBins(NamedTuple):
     overflow_capacity: jnp.ndarray
 
 
+def stream_instance_bound(n: int, max_tiles_per_gaussian: int,
+                          tier_budgets=(4, 12),
+                          tier_fracs=(0.5, 0.125)) -> int:
+    """Exact worst-case instance-slot count of :func:`bin_instances_stream`
+    for ``n`` Gaussians (every Gaussian filling its tier budget)."""
+    d = max_tiles_per_gaussian
+    budgets = [int(b) for b in tier_budgets if int(b) < d]
+    if not budgets:
+        return n * d
+    caps = [max(512, min(n, int(n * f)))
+            for f in tuple(tier_fracs)[:len(budgets)]]
+    bounds = [0] + budgets + [d]
+    total = n * budgets[0]
+    for t in range(1, len(bounds) - 1):
+        total += caps[t - 1] * (bounds[t + 1] - bounds[t])
+    return total
+
+
 def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          max_tiles_per_gaussian: int, cap: int,
                          chunk: int = 128, tile_w: int = 16,

@@ -34,6 +34,7 @@ from .composite import _chunk_include_lanes, _cumsum_lanes
 CHUNK = 128
 ROWS = 16
 PREFETCH = True  # double-buffered DMA prefetch (module flag for debugging)
+TILE_BATCH = 8   # tiles per grid step (amortizes ~1.5µs/step pipeline cost)
 
 
 def _pixel_grid(tile_id, tiles_x: int, tile_w: int, tile_h: int, p: int):
@@ -70,110 +71,135 @@ def _chunk_terms(buf, lo, hi, px, py):
 
 def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
                        out_ref, tfin_ref, buf, sem, *,
-                       tiles_x: int, tile_w: int, tile_h: int):
+                       tiles_x: int, tile_w: int, tile_h: int,
+                       tile_batch: int):
     p = tile_w * tile_h
-    t = pl.program_id(0)
-    px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
-    start = start_ref[t]
-    count = count_ref[t]
-    # Segment offsets are unaligned; DMA 128-aligned windows covering the
-    # segment and mask the lead-in lanes (off = start mod CHUNK).
-    off = jax.lax.rem(start, CHUNK)
-    base = pl.multiple_of(start - off, CHUNK)
-    n_chunks = (off + count + CHUNK - 1) // CHUNK
+    pid = pl.program_id(0)
 
-    def dma(c, slot):
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
-            buf.at[slot], sem.at[slot])
+    def one_tile(b, _):
+        t = pid * tile_batch + b
+        px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
+        start = start_ref[t]
+        count = count_ref[t]
+        # Segment offsets are unaligned; DMA 128-aligned windows covering the
+        # segment and mask the lead-in lanes (off = start mod CHUNK).
+        off = jax.lax.rem(start, CHUNK)
+        base = pl.multiple_of(start - off, CHUNK)
+        n_chunks = (off + count + CHUNK - 1) // CHUNK
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
+        def dma(c, slot):
+            return pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+                buf.at[slot], sem.at[slot])
 
-    def body(state):
-        c, t_mono, tmin, acc_r, acc_g, acc_b = state
-        slot = c % 2
-
-        if PREFETCH:
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                dma(c + 1, (c + 1) % 2).start()
-        else:
-            @pl.when(c > 0)
-            def _():
-                dma(c, slot).start()
-
-        dma(c, slot).wait()
-        _, _, _, alpha, contrib, _ = _chunk_terms(
-            buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
-        include, t_excl, t_incl, t_mono = _chunk_include_lanes(alpha, contrib,
-                                                               t_mono)
-        w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
-        rgb_t = buf[slot][6:9, :]                             # [3, CK]
-        # Deferred accumulation: keep per-lane partial sums (and the final-T
-        # running min) in [P, CK] accumulators; the expensive lane reductions
-        # (log2(CK) full-array shuffles each) run ONCE per tile after the
-        # loop instead of once per chunk. Exact f32 — addition order over
-        # lanes is unchanged, only chunk partials are summed lane-wise first.
-        acc_r = acc_r + w * rgb_t[0:1, :]
-        acc_g = acc_g + w * rgb_t[1:2, :]
-        acc_b = acc_b + w * rgb_t[2:3, :]
-        tmin = jnp.minimum(tmin, jnp.where(include, t_incl, jnp.inf))
-        return c + 1, t_mono, tmin, acc_r, acc_g, acc_b
-
-    def cond(state):
-        c, t_mono = state[0], state[1]
-        return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
-
-    init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.full((p, CHUNK), jnp.inf, jnp.float32),
-            jnp.zeros((p, CHUNK), jnp.float32),
-            jnp.zeros((p, CHUNK), jnp.float32),
-            jnp.zeros((p, CHUNK), jnp.float32))
-    c_end, _, tmin, acc_r, acc_g, acc_b = jax.lax.while_loop(cond, body, init)
-
-    # Early exit leaves the prefetched next chunk's DMA in flight — drain it
-    # or the semaphore state corrupts the next grid step. (Without prefetch
-    # no DMA can be outstanding at exit; waiting would hang on a semaphore
-    # that was never signaled.)
-    if PREFETCH:
-        @pl.when(c_end < n_chunks)
+        @pl.when(n_chunks > 0)
         def _():
-            dma(c_end, c_end % 2).wait()
+            dma(0, 0).start()
 
-    # Reassociating the sum (chunks-then-lanes instead of lanes-then-chunks)
-    # shifts final pixel values by a few f32 ulps; include/termination masks
-    # stay bit-exact (the cumprod path above is unchanged), and conformance
-    # to the jnp oracle is allclose, not bitwise.
-    acc = jnp.concatenate(
-        [jnp.sum(a, axis=1, keepdims=True) for a in (acc_r, acc_g, acc_b)],
-        axis=1)                                               # [P, 3]
-    t_fin = jnp.minimum(1.0, jnp.min(tmin, axis=1, keepdims=True))
-    out_ref[0, :, :] = acc + t_fin * bg_ref[:, :]
-    tfin_ref[0, :, :] = t_fin.reshape(1, p)
+        def body(state):
+            c, t_mono, tmin, acc_r, acc_g, acc_b = state
+            slot = c % 2
+
+            if PREFETCH:
+                @pl.when(c + 1 < n_chunks)
+                def _():
+                    dma(c + 1, (c + 1) % 2).start()
+            else:
+                @pl.when(c > 0)
+                def _():
+                    dma(c, slot).start()
+
+            dma(c, slot).wait()
+            _, _, _, alpha, contrib, _ = _chunk_terms(
+                buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
+            include, t_excl, t_incl, t_mono = _chunk_include_lanes(
+                alpha, contrib, t_mono)
+            w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
+            rgb_t = buf[slot][6:9, :]                             # [3, CK]
+            # Deferred accumulation: keep per-lane partial sums (and the
+            # final-T running min) in [P, CK] accumulators; the expensive
+            # lane reductions (log2(CK) full-array shuffles each) run ONCE
+            # per tile after the loop instead of once per chunk. Exact f32 —
+            # addition order over lanes is unchanged, only chunk partials are
+            # summed lane-wise first.
+            acc_r = acc_r + w * rgb_t[0:1, :]
+            acc_g = acc_g + w * rgb_t[1:2, :]
+            acc_b = acc_b + w * rgb_t[2:3, :]
+            tmin = jnp.minimum(tmin, jnp.where(include, t_incl, jnp.inf))
+            return c + 1, t_mono, tmin, acc_r, acc_g, acc_b
+
+        def cond(state):
+            c, t_mono = state[0], state[1]
+            return (c < n_chunks) & (jnp.max(t_mono) >= 1e-4)
+
+        init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+                jnp.full((p, CHUNK), jnp.inf, jnp.float32),
+                jnp.zeros((p, CHUNK), jnp.float32),
+                jnp.zeros((p, CHUNK), jnp.float32),
+                jnp.zeros((p, CHUNK), jnp.float32))
+        c_end, _, tmin, acc_r, acc_g, acc_b = jax.lax.while_loop(cond, body,
+                                                                 init)
+
+        # Early exit leaves the prefetched next chunk's DMA in flight — drain
+        # it or the semaphore state corrupts the next tile. (Without prefetch
+        # no DMA can be outstanding at exit; waiting would hang on a
+        # semaphore that was never signaled.)
+        if PREFETCH:
+            @pl.when(c_end < n_chunks)
+            def _():
+                dma(c_end, c_end % 2).wait()
+
+        # Reassociating the sum (chunks-then-lanes instead of lanes-then-
+        # chunks) shifts final pixel values by a few f32 ulps; include/
+        # termination masks stay bit-exact (the cumprod path above is
+        # unchanged), and conformance to the jnp oracle is allclose, not
+        # bitwise.
+        acc = jnp.concatenate(
+            [jnp.sum(a, axis=1, keepdims=True) for a in (acc_r, acc_g, acc_b)],
+            axis=1)                                               # [P, 3]
+        t_fin = jnp.minimum(1.0, jnp.min(tmin, axis=1, keepdims=True))
+        out_ref[b, :, :] = acc + t_fin * bg_ref[:, :]
+        tfin_ref[b, :, :] = t_fin.reshape(1, p)
+        return 0
+
+    jax.lax.fori_loop(0, tile_batch, one_tile, 0)
 
 
 def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
                        tfin_ref, gout_ref, gtfin_ref, gattrs_ref,
                        buf, gbuf, gprev, sem, gsem, psem, *,
-                       tiles_x: int, tile_w: int, tile_h: int):
+                       tiles_x: int, tile_w: int, tile_h: int,
+                       tile_batch: int):
     p = tile_w * tile_h
-    t = pl.program_id(0)
-    px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
-    start = start_ref[t]
-    count = count_ref[t]
-    off = jax.lax.rem(start, CHUNK)
-    base = pl.multiple_of(start - off, CHUNK)
-    n_chunks = (off + count + CHUNK - 1) // CHUNK
+    pid = pl.program_id(0)
 
-    g_out = gout_ref[0, :, :]                     # [P, 3]
-    t_fin = tfin_ref[0, :, :].reshape(p, 1)
-    bg = bg_ref[:, :]
-    out_sav = out_ref[0, :, :]
-    g_tfin_ext = gtfin_ref[0, :, :].reshape(p, 1)
-    g_dot_out = jnp.sum(g_out * out_sav, axis=1, keepdims=True)
+    def one_tile(b, _):
+        t = pid * tile_batch + b
+        px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
+        start = start_ref[t]
+        count = count_ref[t]
+        off = jax.lax.rem(start, CHUNK)
+        base = pl.multiple_of(start - off, CHUNK)
+        n_chunks = (off + count + CHUNK - 1) // CHUNK
 
+        g_out = gout_ref[b, :, :]                     # [P, 3]
+        t_fin = tfin_ref[b, :, :].reshape(p, 1)
+        out_sav = out_ref[b, :, :]
+        g_tfin_ext = gtfin_ref[b, :, :].reshape(p, 1)
+        g_dot_out = jnp.sum(g_out * out_sav, axis=1, keepdims=True)
+
+        return _bwd_tile(attrs_ref, gattrs_ref,
+                         buf, gbuf, gprev, sem, gsem, psem,
+                         px, py, off, base, n_chunks, count,
+                         g_out, t_fin, g_tfin_ext, g_dot_out, p)
+
+    jax.lax.fori_loop(0, tile_batch, one_tile, 0)
+
+
+def _bwd_tile(attrs_ref, gattrs_ref,
+              buf, gbuf, gprev, sem, gsem, psem,
+              px, py, off, base, n_chunks, count,
+              g_out, t_fin, g_tfin_ext, g_dot_out, p):
     def dma_in(c, slot):
         return pltpu.make_async_copy(
             attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
@@ -298,7 +324,8 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
         jax.lax.fori_loop(c_end, n_chunks, zbody, 0)
 
-    # drain outstanding gradient writes
+    # drain outstanding gradient writes (also orders them before the next
+    # tile in this batch reads its boundary block from gattrs)
     @pl.when(n_chunks >= 2)
     def _():
         dma_out(n_chunks - 2, (n_chunks - 2) % 2).wait()
@@ -306,6 +333,8 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
     @pl.when(n_chunks >= 1)
     def _():
         dma_out(n_chunks - 1, (n_chunks - 1) % 2).wait()
+
+    return 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -319,23 +348,36 @@ def composite_stream(attrs, seg_start, counts, bg,
                             tile_h, interpret)
 
 
+def _pad_tiles(seg_start, counts, tb: int):
+    """Pad the tile axis to a multiple of the batch (empty tiles: count 0)."""
+    t = seg_start.shape[0]
+    pad = (-t) % tb
+    if pad:
+        seg_start = jnp.concatenate(
+            [seg_start, jnp.zeros((pad,), seg_start.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+    return seg_start, counts, t + pad
+
+
 def _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
                      interpret):
     t = seg_start.shape[0]
     p = tile_w * tile_h
+    tb = TILE_BATCH
+    seg_start_p, counts_p, t_pad = _pad_tiles(seg_start, counts, tb)
     kernel = functools.partial(_stream_fwd_kernel, tiles_x=tiles_x,
-                               tile_w=tile_w, tile_h=tile_h)
+                               tile_w=tile_w, tile_h=tile_h, tile_batch=tb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t,),
+        grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # attrs stay in HBM
             pl.BlockSpec((1, 3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tb, p, 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tb, 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -347,12 +389,12 @@ def _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, p, 3), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(seg_start, counts, attrs, bg.reshape(1, 3))
-    return out, tfin.reshape(t, p)
+    )(seg_start_p, counts_p, attrs, bg.reshape(1, 3))
+    return out[:t], tfin.reshape(t_pad, p)[:t]
 
 
 def _stream_vjp_fwd(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
@@ -367,21 +409,28 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
     g_out, g_tfin = cts
     t = seg_start.shape[0]
     p = tile_w * tile_h
+    tb = TILE_BATCH
+    seg_start_p, counts_p, t_pad = _pad_tiles(seg_start, counts, tb)
+
+    def padt(x):
+        pad = t_pad - t
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)) if pad else x
+
     kernel = functools.partial(_stream_bwd_kernel, tiles_x=tiles_x,
-                               tile_w=tile_w, tile_h=tile_h)
+                               tile_w=tile_w, tile_h=tile_h, tile_batch=tb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t,),
+        grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # attrs (HBM)
             pl.BlockSpec((1, 3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tb, p, 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),    # saved out
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tb, 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),    # saved tfin
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tb, p, 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),    # g_out
-            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tb, 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),    # g_tfin
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],   # gattrs (HBM)
@@ -401,8 +450,9 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
         out_shape=[jax.ShapeDtypeStruct((ROWS, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(seg_start, counts, attrs, bg.reshape(1, 3), out,
-      tfin.reshape(t, 1, p), g_out, g_tfin.reshape(t, 1, p))
+    )(seg_start_p, counts_p, attrs, bg.reshape(1, 3), padt(out),
+      padt(tfin.reshape(t, 1, p)), padt(g_out),
+      padt(g_tfin.reshape(t, 1, p)))
     g_bg = jnp.einsum("tpc,tp->c", g_out, tfin)
     return (gattrs, None, None, g_bg)
 

@@ -32,7 +32,12 @@ class RasterConfig(NamedTuple):
     tile_capacity: int = 512
     tile_batch: int = 64
     backend: str = "auto"  # "jnp" | "pallas" | "stream" | "auto"
-    instance_cap: int = 1 << 21  # stream backend: packed instance slots
+    # Stream backend: packed instance slots. None = auto-size to 8·N (tile
+    # sort, row pack, and the backward scatter-add all scale with this STATIC
+    # capacity, so a loose cap taxes every step; typical load is ~5·N and the
+    # tier-budget worst case 10.5·N). Clipped to the exact tier bound; any
+    # shortfall is counted in aux["overflow_capacity"], never silent.
+    instance_cap: Optional[int] = None
     # Tiered per-Gaussian tile budgets (stream binning): every Gaussian gets
     # tier_budgets[0] slots; the largest tier_fracs[i]·N by rect area get
     # tier_budgets[i+1] (nested prefixes, max_tiles_per_gaussian last).
@@ -93,15 +98,27 @@ def _rasterize_stream(processed: Processed, image_width: int,
     row-packing gather (its transpose is the per-instance scatter-add back to
     Gaussians); the kernel's custom VJP emits per-instance gradients.
     """
-    from .binning import bin_instances_stream
+    from .binning import bin_instances_stream, stream_instance_bound
     from .pallas.stream import ROWS, composite_stream
 
     tile_w, tile_h = config.tile_w, config.tile_h
     num_tiles = tiles_x * tiles_y
-    assert config.instance_cap % 128 == 0, "instance_cap must be CHUNK-aligned"
+    n_gauss = processed.xy.shape[0]
+    cap = config.instance_cap
+    if cap is None:
+        bound = stream_instance_bound(n_gauss, config.max_tiles_per_gaussian,
+                                      config.tier_budgets, config.tier_fracs)
+        # Expected tiles/Gaussian ≈ (1 + 2r̄/tw)(1 + 2r̄/th); with a typical
+        # splat footprint (2r̄ ≈ 21 px at 1080p loads) and a 1.5× safety
+        # margin this lands at 8·N for 16×16 tiles. Shortfall is counted in
+        # aux["overflow_capacity"]; set instance_cap explicitly to override.
+        k = 1.5 * (1.0 + 21.0 / tile_w) * (1.0 + 21.0 / tile_h)
+        cap = min(max(int(k * n_gauss), 1024), bound)
+        cap += (-cap) % 128
+    assert cap % 128 == 0, "instance_cap must be CHUNK-aligned"
     bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
-                                config.instance_cap, tile_w=tile_w,
+                                cap, tile_w=tile_w,
                                 tile_h=tile_h,
                                 tier_budgets=config.tier_budgets,
                                 tier_fracs=config.tier_fracs)
