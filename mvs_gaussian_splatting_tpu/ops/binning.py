@@ -119,7 +119,7 @@ class StreamBins(NamedTuple):
 
 def stream_instance_bound(n: int, max_tiles_per_gaussian: int,
                           tier_budgets=(4, 12),
-                          tier_fracs=(0.5, 0.125)) -> int:
+                          tier_fracs=(0.25, 0.1)) -> int:
     """Exact worst-case instance-slot count of :func:`bin_instances_stream`
     for ``n`` Gaussians (every Gaussian filling its tier budget)."""
     d = max_tiles_per_gaussian
@@ -140,7 +140,7 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          chunk: int = 128, tile_w: int = 16,
                          tile_h: int = 16,
                          tier_budgets=(4, 12),
-                         tier_fracs=(0.5, 0.125)) -> StreamBins:
+                         tier_fracs=(0.25, 0.1)) -> StreamBins:
     """Depth-presorted, single-key tile sort consumed in segment layout.
 
     Gaussians are depth-sorted once (N entries), instances enumerated in that

@@ -43,7 +43,7 @@ class RasterConfig(NamedTuple):
     # tier_budgets[i+1] (nested prefixes, max_tiles_per_gaussian last).
     # () = flat budget. Shortfall is reported in overflow_tiles.
     tier_budgets: tuple = (4, 12)
-    tier_fracs: tuple = (0.5, 0.125)
+    tier_fracs: tuple = (0.25, 0.1)
 
 
 def _tile_pixel_grid(tile_ids, tiles_x: int, tile_w: int, tile_h: int):

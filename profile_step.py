@@ -19,9 +19,9 @@ from mvs_gaussian_splatting_tpu.utils.transforms import normalize
 
 W, H = 1920, 1088
 N = 200_000
-cfg = RasterConfig(tile_capacity=1024, max_tiles_per_gaussian=32,
-                   tile_batch=256, backend="stream")
-CAP = min(8 * N, __import__("mvs_gaussian_splatting_tpu.ops.binning", fromlist=["x"]).stream_instance_bound(N, cfg.max_tiles_per_gaussian, cfg.tier_budgets, cfg.tier_fracs))
+cfg = RasterConfig(tile_w=32, tile_h=16, tile_capacity=1024,
+                   max_tiles_per_gaussian=32, tile_batch=256, backend="stream")
+CAP = min(int(1.5 * (1 + 21/cfg.tile_w) * (1 + 21/cfg.tile_h) * N), __import__("mvs_gaussian_splatting_tpu.ops.binning", fromlist=["x"]).stream_instance_bound(N, cfg.max_tiles_per_gaussian, cfg.tier_budgets, cfg.tier_fracs))
 CAP += (-CAP) % 128
 cam, (means, log_scales, quats, opac_logit, shs) = build_scene(N, W, H)
 bg = jnp.zeros(3)
@@ -52,7 +52,8 @@ jax.block_until_ready(p)
 
 binf = jax.jit(lambda eps: bin_instances_stream(
     p._replace(depth=p.depth + eps), tiles_x, tiles_y,
-    cfg.max_tiles_per_gaussian, CAP))
+    cfg.max_tiles_per_gaussian, CAP, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+    tier_budgets=cfg.tier_budgets, tier_fracs=cfg.tier_fracs))
 t_bin = timeit(binf)
 bins = binf(jnp.float32(0.0))
 jax.block_until_ready(bins)
