@@ -51,6 +51,8 @@ class PipelineConfig:
     detach: bool = False
     # TPU-specific knobs (no reference analog)
     backend: str = "auto"            # rasterizer composite backend
+    tile_w: int = 16                 # raster tile geometry (32x16 is the
+    tile_h: int = 16                 # fastest 1080p config on v5e)
     tile_capacity: int = 1024
     max_tiles_per_gaussian: int = 128
     tile_batch: int = 128

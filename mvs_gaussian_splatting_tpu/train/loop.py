@@ -36,6 +36,7 @@ _PROFILE_WINDOW = (100, 120)
 
 def raster_config_from_pipe(pipe: PipelineConfig) -> RasterConfig:
     return RasterConfig(backend=pipe.backend,
+                        tile_w=pipe.tile_w, tile_h=pipe.tile_h,
                         tile_capacity=pipe.tile_capacity,
                         max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
                         tile_batch=pipe.tile_batch)
