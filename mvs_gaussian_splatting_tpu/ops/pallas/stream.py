@@ -69,7 +69,7 @@ def _chunk_terms(buf, lo, hi, px, py):
     return dx, dy, g, alpha, contrib, (ca, cb, cc, op)
 
 
-def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
+def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
                        out_ref, tfin_ref, buf, sem, *,
                        tiles_x: int, tile_w: int, tile_h: int,
                        tile_batch: int):
@@ -78,7 +78,7 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
 
     def one_tile(b, _):
         t = pid * tile_batch + b
-        px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
+        px, py = _pixel_grid(ids_ref[t], tiles_x, tile_w, tile_h, p)
         start = start_ref[t]
         count = count_ref[t]
         # Segment offsets are unaligned; DMA 128-aligned windows covering the
@@ -165,8 +165,8 @@ def _stream_fwd_kernel(start_ref, count_ref, attrs_ref, bg_ref,
     jax.lax.fori_loop(0, tile_batch, one_tile, 0)
 
 
-def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
-                       tfin_ref, gout_ref, gtfin_ref, gattrs_ref,
+def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
+                       out_ref, tfin_ref, gout_ref, gtfin_ref, gattrs_ref,
                        buf, gbuf, gprev, sem, gsem, psem, *,
                        tiles_x: int, tile_w: int, tile_h: int,
                        tile_batch: int):
@@ -175,7 +175,7 @@ def _stream_bwd_kernel(start_ref, count_ref, attrs_ref, bg_ref, out_ref,
 
     def one_tile(b, _):
         t = pid * tile_batch + b
-        px, py = _pixel_grid(t, tiles_x, tile_w, tile_h, p)
+        px, py = _pixel_grid(ids_ref[t], tiles_x, tile_w, tile_h, p)
         start = start_ref[t]
         count = count_ref[t]
         off = jax.lax.rem(start, CHUNK)
@@ -337,18 +337,20 @@ def _bwd_tile(attrs_ref, gattrs_ref,
     return 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def composite_stream(attrs, seg_start, counts, bg,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def composite_stream(attrs, seg_start, counts, bg, tile_ids,
                      tiles_x: int, tile_w: int, tile_h: int,
                      interpret: bool = False):
     """attrs [16, CAP + CHUNK] packed rows (tile-sorted instances, segment-
-    direct); seg_start/counts [T] (arbitrary offsets); bg [3]
-    → (out [T, P, 3], final_T [T, P])."""
-    return _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w,
-                            tile_h, interpret)
+    direct); seg_start/counts [T] (arbitrary offsets); bg [3];
+    tile_ids [T] i32 GLOBAL tile id per local tile (pixel-grid indirection —
+    under tile-sharded shard_map each shard passes its own id range; pass
+    ``jnp.arange(T)`` single-device) → (out [T, P, 3], final_T [T, P])."""
+    return _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
+                            tile_w, tile_h, interpret)
 
 
-def _pad_tiles(seg_start, counts, tb: int):
+def _pad_tiles(seg_start, counts, tile_ids, tb: int):
     """Pad the tile axis to a multiple of the batch (empty tiles: count 0)."""
     t = seg_start.shape[0]
     pad = (-t) % tb
@@ -356,19 +358,22 @@ def _pad_tiles(seg_start, counts, tb: int):
         seg_start = jnp.concatenate(
             [seg_start, jnp.zeros((pad,), seg_start.dtype)])
         counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
-    return seg_start, counts, t + pad
+        tile_ids = jnp.concatenate(
+            [tile_ids, jnp.zeros((pad,), tile_ids.dtype)])
+    return seg_start, counts, tile_ids, t + pad
 
 
-def _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
-                     interpret):
+def _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
+                     tile_w, tile_h, interpret):
     t = seg_start.shape[0]
     p = tile_w * tile_h
     tb = TILE_BATCH
-    seg_start_p, counts_p, t_pad = _pad_tiles(seg_start, counts, tb)
+    seg_start_p, counts_p, ids_p, t_pad = _pad_tiles(seg_start, counts,
+                                                     tile_ids, tb)
     kernel = functools.partial(_stream_fwd_kernel, tiles_x=tiles_x,
                                tile_w=tile_w, tile_h=tile_h, tile_batch=tb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # attrs stay in HBM
@@ -393,24 +398,25 @@ def _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
             jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(seg_start_p, counts_p, attrs, bg.reshape(1, 3))
+    )(seg_start_p, counts_p, ids_p, attrs, bg.reshape(1, 3))
     return out[:t], tfin.reshape(t_pad, p)[:t]
 
 
-def _stream_vjp_fwd(attrs, seg_start, counts, bg, tiles_x, tile_w, tile_h,
-                    interpret):
-    out, tfin = _stream_fwd_impl(attrs, seg_start, counts, bg, tiles_x,
-                                 tile_w, tile_h, interpret)
-    return (out, tfin), (attrs, seg_start, counts, bg, out, tfin)
+def _stream_vjp_fwd(attrs, seg_start, counts, bg, tile_ids, tiles_x, tile_w,
+                    tile_h, interpret):
+    out, tfin = _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids,
+                                 tiles_x, tile_w, tile_h, interpret)
+    return (out, tfin), (attrs, seg_start, counts, bg, tile_ids, out, tfin)
 
 
 def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
-    attrs, seg_start, counts, bg, out, tfin = res
+    attrs, seg_start, counts, bg, tile_ids, out, tfin = res
     g_out, g_tfin = cts
     t = seg_start.shape[0]
     p = tile_w * tile_h
     tb = TILE_BATCH
-    seg_start_p, counts_p, t_pad = _pad_tiles(seg_start, counts, tb)
+    seg_start_p, counts_p, ids_p, t_pad = _pad_tiles(seg_start, counts,
+                                                     tile_ids, tb)
 
     def padt(x):
         pad = t_pad - t
@@ -419,7 +425,7 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
     kernel = functools.partial(_stream_bwd_kernel, tiles_x=tiles_x,
                                tile_w=tile_w, tile_h=tile_h, tile_batch=tb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # attrs (HBM)
@@ -450,11 +456,23 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
         out_shape=[jax.ShapeDtypeStruct((ROWS, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(seg_start_p, counts_p, attrs, bg.reshape(1, 3), padt(out),
+    )(seg_start_p, counts_p, ids_p, attrs, bg.reshape(1, 3), padt(out),
       padt(tfin.reshape(t, 1, p)), padt(g_out),
       padt(g_tfin.reshape(t, 1, p)))
+    # Mask the gradient stream to this call's own segment span. Slots outside
+    # [lo, hi) are either the sentinel tail (uninitialized kernel output,
+    # masked again by the pack's validity transpose) or — under tile-sharded
+    # shard_map, where each shard sees only its contiguous tile range —
+    # OTHER shards' segments, which this shard never wrote. Zeroing them
+    # makes the shard_map transpose's automatic psum over the replicated
+    # attrs input compose exact gradients (each slot owned by exactly one
+    # shard; chunk-spill zeros and garbage both land outside [lo, hi)).
+    lo = seg_start[0]
+    hi = seg_start[-1] + counts[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gattrs.shape[1]), 1)
+    gattrs = jnp.where((lane >= lo) & (lane < hi), gattrs, 0.0)
     g_bg = jnp.einsum("tpc,tp->c", g_out, tfin)
-    return (gattrs, None, None, g_bg)
+    return (gattrs, None, None, g_bg, None)
 
 
 composite_stream.defvjp(_stream_vjp_fwd, _stream_vjp_bwd)

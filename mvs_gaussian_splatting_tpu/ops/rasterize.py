@@ -145,7 +145,8 @@ def _rasterize_stream(processed: Processed, image_width: int,
 
     tiles_out, final_T = composite_stream(
         attrs, bins.seg_start, bins.counts, bg_color,
-        tiles_x, tile_w, tile_h, interpret)
+        jnp.arange(num_tiles, dtype=jnp.int32), tiles_x, tile_w, tile_h,
+        interpret)
     tiles_out = tiles_out.transpose(0, 2, 1)          # [T, 3, P]
 
     image = _assemble_image(tiles_out, tiles_x, tiles_y, tile_w, tile_h,

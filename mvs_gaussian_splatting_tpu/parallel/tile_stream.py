@@ -1,0 +1,111 @@
+"""Tile-sharded STREAM rendering: the production multi-chip composite path.
+
+Image-space parallelism (SURVEY §5.7) over the fast instance-stream Pallas
+backend, not the jnp fallback of :mod:`tile_parallel`. Preprocess, binning,
+and attribute packing run replicated (O(N·log N), cheap at high resolution);
+each device then composites a contiguous strip of the tile grid with
+:func:`ops.pallas.stream.composite_stream`, reading its segments from its
+replica of the packed attribute array.
+
+Gradient flow under ``shard_map``: the composite's custom VJP masks its
+per-instance gradient stream to the shard's own segment span [seg_start[0],
+seg_end[-1]) — every instance slot is owned by exactly one shard — so the
+automatic psum that shard_map's transpose inserts for the replicated
+``attrs`` input reassembles the exact full-stream gradient, which then flows
+through the pack gather's transpose back to the Gaussians. The only
+cross-device traffic is that one [16, CAP] all-reduce plus the scalar loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.preprocess import Processed
+from ..ops.rasterize import RasterConfig, _assemble_image
+
+
+def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
+                             image_height: int,
+                             config: RasterConfig = RasterConfig(),
+                             interpret: bool = False):
+    """Returns fn(processed, bg) → (image [3, H, W], aux).
+
+    The tile axis (tiles_y · tiles_x, padded to the axis size) is sharded
+    over ``axis``; tiles come back device-local and are reassembled. Works
+    on a CPU host-device mesh with ``interpret=True`` for testing.
+    """
+    from ..ops.binning import bin_instances_stream, stream_instance_bound
+    from ..ops.pallas.stream import ROWS, composite_stream
+
+    n_dev = mesh.shape[axis]
+    tile_w, tile_h = config.tile_w, config.tile_h
+    tiles_x = -(-image_width // tile_w)
+    tiles_y = -(-image_height // tile_h)
+    num_tiles = tiles_x * tiles_y
+    pad = (-num_tiles) % n_dev
+    t_padded = num_tiles + pad
+
+    def local_composite(attrs, seg_start, counts, tile_ids, bg):
+        out, fT = composite_stream(attrs, seg_start, counts, bg, tile_ids,
+                                   tiles_x, tile_w, tile_h, interpret)
+        return out, fT
+
+    sharded = jax.shard_map(
+        local_composite, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False)  # pallas_call out_shapes don't carry vma yet
+
+    def fn(processed: Processed, bg):
+        n = processed.xy.shape[0]
+        cap = config.instance_cap
+        if cap is None:
+            bound = stream_instance_bound(n, config.max_tiles_per_gaussian,
+                                          config.tier_budgets,
+                                          config.tier_fracs)
+            k = 1.5 * (1.0 + 21.0 / tile_w) * (1.0 + 21.0 / tile_h)
+            cap = min(max(int(k * n), 1024), bound)
+            cap += (-cap) % 128
+        bins = bin_instances_stream(jax.lax.stop_gradient(processed),
+                                    tiles_x, tiles_y,
+                                    config.max_tiles_per_gaussian, cap,
+                                    tile_w=tile_w, tile_h=tile_h,
+                                    tier_budgets=config.tier_budgets,
+                                    tier_fracs=config.tier_fracs)
+        table = jnp.concatenate([
+            processed.xy, processed.conic, processed.opacity[:, None],
+            processed.rgb, jnp.zeros((n, ROWS - 9)),
+        ], axis=1)[bins.order]
+        inst = jnp.where(bins.inst_valid[:, None], table[bins.inst_rank], 0.0)
+        attrs = inst.T                                 # [16, CAP + CHUNK]
+
+        # Pad the tile axis to the shard count. Padded tiles are empty
+        # (count 0) and their seg_start repeats the last segment end so the
+        # bwd mask span of the shard holding them stays correct.
+        seg_end = bins.seg_start[-1] + bins.counts[-1]
+        seg_start = jnp.concatenate(
+            [bins.seg_start, jnp.broadcast_to(seg_end, (pad,))])
+        counts = jnp.concatenate(
+            [bins.counts, jnp.zeros((pad,), bins.counts.dtype)])
+        tile_ids = jnp.arange(t_padded, dtype=jnp.int32)
+
+        tiles_out, final_T = sharded(attrs, seg_start, counts, tile_ids, bg)
+        tiles_out = tiles_out.transpose(0, 2, 1)[:num_tiles]   # [T, 3, P]
+        final_T = final_T[:num_tiles]
+
+        image = _assemble_image(tiles_out, tiles_x, tiles_y, tile_w, tile_h,
+                                image_width, image_height)
+        final_T_img = _assemble_image(
+            jnp.broadcast_to(final_T[:, None, :],
+                             (num_tiles, 3, tile_h * tile_w)),
+            tiles_x, tiles_y, tile_w, tile_h, image_width, image_height)[0]
+        aux = {"radii": processed.radius,
+               "final_T": final_T_img,
+               "overflow_tiles": bins.overflow_tiles,
+               "overflow_capacity": bins.overflow_capacity,
+               "tile_counts": bins.counts_raw}
+        return image, aux
+
+    return fn

@@ -70,15 +70,17 @@ attrs = packj(jnp.float32(0.0))
 jax.block_until_ready(attrs)
 
 # kernel fwd alone
+tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
 fwdk = jax.jit(lambda eps: composite_stream(
-    attrs + eps, bins.seg_start, bins.counts, bg, tiles_x,
+    attrs + eps, bins.seg_start, bins.counts, bg, tile_ids, tiles_x,
     cfg.tile_w, cfg.tile_h, False))
 t_fwdk = timeit(fwdk)
 
 # kernel fwd+bwd (isolated custom vjp)
 def loss_k(a):
     out, tfin = composite_stream(a, bins.seg_start, bins.counts, bg,
-                                 tiles_x, cfg.tile_w, cfg.tile_h, False)
+                                 tile_ids, tiles_x, cfg.tile_w, cfg.tile_h,
+                                 False)
     return out.mean()
 gradk = jax.jit(lambda eps: jax.grad(loss_k)(attrs + eps))
 t_gradk = timeit(gradk)
