@@ -117,22 +117,55 @@ class StreamBins(NamedTuple):
     overflow_capacity: jnp.ndarray
 
 
+def _tier_layout(n: int, max_tiles_per_gaussian: int, tier_budgets,
+                 tier_fracs):
+    """(budgets, caps) for the tiered enumeration; validates nesting.
+
+    caps are the area-rank prefix lengths per upgraded tier:
+    min(n, max(512, n·frac)) — floored at 512 rows (so small scenes always
+    get full budgets) but never more rows than exist. Fracs must be
+    non-increasing: an increasing frac would enumerate a Gaussian's high tile
+    slots without its middle ones, silently dropping tiles."""
+    d = max_tiles_per_gaussian
+    budgets = [int(b) for b in tier_budgets if int(b) < d]
+    fracs = tuple(tier_fracs)[:len(budgets)]
+    if any(f2 > f1 for f1, f2 in zip(fracs, fracs[1:])):
+        raise ValueError(f"tier_fracs must be non-increasing (nested "
+                         f"prefixes), got {tier_fracs}")
+    caps = [min(n, max(512, int(n * f))) for f in fracs]
+    return budgets, caps
+
+
 def stream_instance_bound(n: int, max_tiles_per_gaussian: int,
                           tier_budgets=(4, 12),
                           tier_fracs=(0.25, 0.1)) -> int:
     """Exact worst-case instance-slot count of :func:`bin_instances_stream`
     for ``n`` Gaussians (every Gaussian filling its tier budget)."""
     d = max_tiles_per_gaussian
-    budgets = [int(b) for b in tier_budgets if int(b) < d]
+    budgets, caps = _tier_layout(n, d, tier_budgets, tier_fracs)
     if not budgets:
         return n * d
-    caps = [max(512, min(n, int(n * f)))
-            for f in tuple(tier_fracs)[:len(budgets)]]
     bounds = [0] + budgets + [d]
     total = n * budgets[0]
     for t in range(1, len(bounds) - 1):
         total += caps[t - 1] * (bounds[t + 1] - bounds[t])
     return total
+
+
+def auto_instance_cap(n: int, max_tiles_per_gaussian: int, tile_w: int,
+                      tile_h: int, tier_budgets=(4, 12),
+                      tier_fracs=(0.25, 0.1)) -> int:
+    """Default stream instance capacity (CHUNK-aligned).
+
+    Expected tiles/Gaussian ≈ (1 + 2r̄/tw)(1 + 2r̄/th); with a typical splat
+    footprint (2r̄ ≈ 21 px at 1080p loads) and a 1.5× safety margin this
+    lands at 8·N for 16×16 tiles. Clipped to the exact tier bound; shortfall
+    is counted in aux["overflow_capacity"], never silent."""
+    bound = stream_instance_bound(n, max_tiles_per_gaussian, tier_budgets,
+                                  tier_fracs)
+    k = 1.5 * (1.0 + 21.0 / tile_w) * (1.0 + 21.0 / tile_h)
+    cap = min(max(int(k * n), 1024), bound)
+    return cap + (-cap) % 128
 
 
 def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
@@ -212,10 +245,8 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
             return key.reshape(-1), None
         return tid.reshape(-1), rk.reshape(-1)
 
-    budgets = [int(b) for b in tier_budgets if int(b) < d]
+    budgets, caps = _tier_layout(n, d, tier_budgets, tier_fracs)
     if budgets:
-        caps = [max(512, min(n, int(n * f)))
-                for f in tuple(tier_fracs)[:len(budgets)]]
         aorder = jnp.argsort(-area, stable=True).astype(jnp.int32)
         area_sorted = area[aorder]
         bounds = [0] + budgets + [d]           # tier j-ranges
@@ -272,6 +303,12 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     # Segments past `cap` are truncated depth-last (per tile), counted.
     counts = jnp.clip(cap - seg_start, 0, counts_raw)
     overflow_capacity = (counts_raw.sum() - counts.sum()).astype(jnp.int32)
+    # Clamp truncated segment offsets into the buffer: a tile whose segment
+    # begins past `cap` has count 0, but an unclamped start would make the
+    # stream kernels compute a 128-aligned DMA window beyond [16, cap+CHUNK]
+    # (out-of-bounds HBM reads fwd / writes bwd on real hardware). cap is
+    # CHUNK-aligned, so a clamped empty segment yields n_chunks == 0.
+    seg_start = jnp.minimum(seg_start, cap)
 
     total = cap + chunk  # slack for the last tile's chunk-granular DMA spill
     m = sorted_rank.shape[0]

@@ -98,41 +98,54 @@ def _rasterize_stream(processed: Processed, image_width: int,
     row-packing gather (its transpose is the per-instance scatter-add back to
     Gaussians); the kernel's custom VJP emits per-instance gradients.
     """
-    from .binning import bin_instances_stream, stream_instance_bound
-    from .pallas.stream import ROWS, composite_stream
+    from .pallas.stream import composite_stream
 
     tile_w, tile_h = config.tile_w, config.tile_h
     num_tiles = tiles_x * tiles_y
-    n_gauss = processed.xy.shape[0]
+    bins, attrs = bin_and_pack_stream(processed, tiles_x, tiles_y, config)
+
+    tiles_out, final_T = composite_stream(
+        attrs, bins.seg_start, bins.counts, bg_color,
+        jnp.arange(num_tiles, dtype=jnp.int32), tiles_x, tile_w, tile_h,
+        interpret)
+    return assemble_stream_output(tiles_out, final_T, bins, processed,
+                                  tiles_x, tiles_y, tile_w, tile_h,
+                                  image_width, image_height)
+
+
+def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
+                        config: RasterConfig):
+    """Stream-backend front half: tile binning + packed attribute rows.
+
+    Returns (bins, attrs [16, CAP + CHUNK]). Shared by the single-device
+    path and the tile-sharded shard_map path (parallel/tile_stream.py) so
+    the packed row layout cannot desync between them.
+
+    Packs per-Gaussian attributes into one [N, 16] struct, permutes it into
+    depth order (so instance slots index it directly by depth rank), and
+    gathers whole rows per instance — a single 64-byte-row gather instead of
+    9 scalar gathers (TPU gathers are row-DMA-bound; scalar gathers ran at
+    ~60M elem/s in profiling). The validity gate's where() transpose keeps
+    uninitialized gradient memory in out-of-segment columns from
+    scatter-adding into rank 0; the depth permutation's transpose unsorts
+    the [N, 16] gradient table back to Gaussian order (an N-row scatter).
+    """
+    from .binning import auto_instance_cap, bin_instances_stream
+    from .pallas.stream import ROWS
+
+    n = processed.xy.shape[0]
     cap = config.instance_cap
     if cap is None:
-        bound = stream_instance_bound(n_gauss, config.max_tiles_per_gaussian,
-                                      config.tier_budgets, config.tier_fracs)
-        # Expected tiles/Gaussian ≈ (1 + 2r̄/tw)(1 + 2r̄/th); with a typical
-        # splat footprint (2r̄ ≈ 21 px at 1080p loads) and a 1.5× safety
-        # margin this lands at 8·N for 16×16 tiles. Shortfall is counted in
-        # aux["overflow_capacity"]; set instance_cap explicitly to override.
-        k = 1.5 * (1.0 + 21.0 / tile_w) * (1.0 + 21.0 / tile_h)
-        cap = min(max(int(k * n_gauss), 1024), bound)
-        cap += (-cap) % 128
+        cap = auto_instance_cap(n, config.max_tiles_per_gaussian,
+                                config.tile_w, config.tile_h,
+                                config.tier_budgets, config.tier_fracs)
     assert cap % 128 == 0, "instance_cap must be CHUNK-aligned"
     bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
-                                cap, tile_w=tile_w,
-                                tile_h=tile_h,
+                                cap, tile_w=config.tile_w,
+                                tile_h=config.tile_h,
                                 tier_budgets=config.tier_budgets,
                                 tier_fracs=config.tier_fracs)
-    ir = bins.inst_rank
-    v = bins.inst_valid
-    # Pack per-Gaussian attributes into one [N, 16] struct, permute it into
-    # depth order (so instance slots index it directly by depth rank), and
-    # gather whole rows per instance — a single 64-byte-row gather instead of
-    # 9 scalar gathers (TPU gathers are row-DMA-bound; scalar gathers ran at
-    # ~60M elem/s in profiling). The validity gate's where() transpose keeps
-    # uninitialized gradient memory in out-of-segment columns from
-    # scatter-adding into rank 0; the depth permutation's transpose unsorts
-    # the [N, 16] gradient table back to Gaussian order (an N-row scatter).
-    n = processed.xy.shape[0]
     table = jnp.concatenate([
         processed.xy,                                  # 0, 1
         processed.conic,                               # 2, 3, 4
@@ -140,15 +153,16 @@ def _rasterize_stream(processed: Processed, image_width: int,
         processed.rgb,                                 # 6, 7, 8
         jnp.zeros((n, ROWS - 9)),
     ], axis=1)[bins.order]                             # [N, 16] depth-ordered
-    inst = jnp.where(v[:, None], table[ir], 0.0)       # [CAP + CHUNK, 16]
-    attrs = inst.T                                     # [16, CAP + CHUNK]
+    inst = jnp.where(bins.inst_valid[:, None], table[bins.inst_rank], 0.0)
+    return bins, inst.T                                # [16, CAP + CHUNK]
 
-    tiles_out, final_T = composite_stream(
-        attrs, bins.seg_start, bins.counts, bg_color,
-        jnp.arange(num_tiles, dtype=jnp.int32), tiles_x, tile_w, tile_h,
-        interpret)
+
+def assemble_stream_output(tiles_out, final_T, bins, processed,
+                           tiles_x: int, tiles_y: int, tile_w: int,
+                           tile_h: int, image_width: int, image_height: int):
+    """Stream-backend back half: [T, P, 3] tiles → (image [3,H,W], aux)."""
+    num_tiles = tiles_x * tiles_y
     tiles_out = tiles_out.transpose(0, 2, 1)          # [T, 3, P]
-
     image = _assemble_image(tiles_out, tiles_x, tiles_y, tile_w, tile_h,
                             image_width, image_height)
     final_T_img = _assemble_image(

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.preprocess import Processed
-from ..ops.rasterize import RasterConfig, _assemble_image
+from ..ops.rasterize import (RasterConfig, assemble_stream_output,
+                             bin_and_pack_stream)
 
 
 def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
@@ -36,8 +37,7 @@ def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
     over ``axis``; tiles come back device-local and are reassembled. Works
     on a CPU host-device mesh with ``interpret=True`` for testing.
     """
-    from ..ops.binning import bin_instances_stream, stream_instance_bound
-    from ..ops.pallas.stream import ROWS, composite_stream
+    from ..ops.pallas.stream import composite_stream
 
     n_dev = mesh.shape[axis]
     tile_w, tile_h = config.tile_w, config.tile_h
@@ -59,27 +59,7 @@ def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
         check_vma=False)  # pallas_call out_shapes don't carry vma yet
 
     def fn(processed: Processed, bg):
-        n = processed.xy.shape[0]
-        cap = config.instance_cap
-        if cap is None:
-            bound = stream_instance_bound(n, config.max_tiles_per_gaussian,
-                                          config.tier_budgets,
-                                          config.tier_fracs)
-            k = 1.5 * (1.0 + 21.0 / tile_w) * (1.0 + 21.0 / tile_h)
-            cap = min(max(int(k * n), 1024), bound)
-            cap += (-cap) % 128
-        bins = bin_instances_stream(jax.lax.stop_gradient(processed),
-                                    tiles_x, tiles_y,
-                                    config.max_tiles_per_gaussian, cap,
-                                    tile_w=tile_w, tile_h=tile_h,
-                                    tier_budgets=config.tier_budgets,
-                                    tier_fracs=config.tier_fracs)
-        table = jnp.concatenate([
-            processed.xy, processed.conic, processed.opacity[:, None],
-            processed.rgb, jnp.zeros((n, ROWS - 9)),
-        ], axis=1)[bins.order]
-        inst = jnp.where(bins.inst_valid[:, None], table[bins.inst_rank], 0.0)
-        attrs = inst.T                                 # [16, CAP + CHUNK]
+        bins, attrs = bin_and_pack_stream(processed, tiles_x, tiles_y, config)
 
         # Pad the tile axis to the shard count. Padded tiles are empty
         # (count 0) and their seg_start repeats the last segment end so the
@@ -92,20 +72,9 @@ def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
         tile_ids = jnp.arange(t_padded, dtype=jnp.int32)
 
         tiles_out, final_T = sharded(attrs, seg_start, counts, tile_ids, bg)
-        tiles_out = tiles_out.transpose(0, 2, 1)[:num_tiles]   # [T, 3, P]
-        final_T = final_T[:num_tiles]
-
-        image = _assemble_image(tiles_out, tiles_x, tiles_y, tile_w, tile_h,
-                                image_width, image_height)
-        final_T_img = _assemble_image(
-            jnp.broadcast_to(final_T[:, None, :],
-                             (num_tiles, 3, tile_h * tile_w)),
-            tiles_x, tiles_y, tile_w, tile_h, image_width, image_height)[0]
-        aux = {"radii": processed.radius,
-               "final_T": final_T_img,
-               "overflow_tiles": bins.overflow_tiles,
-               "overflow_capacity": bins.overflow_capacity,
-               "tile_counts": bins.counts_raw}
-        return image, aux
+        return assemble_stream_output(tiles_out[:num_tiles],
+                                      final_T[:num_tiles], bins, processed,
+                                      tiles_x, tiles_y, tile_w, tile_h,
+                                      image_width, image_height)
 
     return fn

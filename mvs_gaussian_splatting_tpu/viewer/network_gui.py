@@ -86,11 +86,22 @@ def try_connect() -> None:
         pass
 
 
+def _recv_exact(n: int) -> bytes:
+    """recv() can return partial data on fragmented TCP streams (the
+    reference's single-recv read drops the connection in that case —
+    network_gui.py:43-48); loop until the full message arrives."""
+    buf = bytearray()
+    while len(buf) < n:
+        part = conn.recv(n - len(buf))
+        if not part:
+            raise ConnectionError("viewer closed mid-message")
+        buf.extend(part)
+    return bytes(buf)
+
+
 def read() -> dict:
-    messageLength = conn.recv(4)
-    messageLength = int.from_bytes(messageLength, "little")
-    message = conn.recv(messageLength)
-    return json.loads(message.decode("utf-8"))
+    messageLength = int.from_bytes(_recv_exact(4), "little")
+    return json.loads(_recv_exact(messageLength).decode("utf-8"))
 
 
 def send(message_bytes: Optional[bytes], verify: str) -> None:

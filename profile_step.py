@@ -21,8 +21,9 @@ W, H = 1920, 1088
 N = 200_000
 cfg = RasterConfig(tile_w=32, tile_h=16, tile_capacity=1024,
                    max_tiles_per_gaussian=32, tile_batch=256, backend="stream")
-CAP = min(int(1.5 * (1 + 21/cfg.tile_w) * (1 + 21/cfg.tile_h) * N), __import__("mvs_gaussian_splatting_tpu.ops.binning", fromlist=["x"]).stream_instance_bound(N, cfg.max_tiles_per_gaussian, cfg.tier_budgets, cfg.tier_fracs))
-CAP += (-CAP) % 128
+from mvs_gaussian_splatting_tpu.ops.binning import auto_instance_cap
+CAP = auto_instance_cap(N, cfg.max_tiles_per_gaussian, cfg.tile_w,
+                        cfg.tile_h, cfg.tier_budgets, cfg.tier_fracs)
 cam, (means, log_scales, quats, opac_logit, shs) = build_scene(N, W, H)
 bg = jnp.zeros(3)
 tiles_x, tiles_y = -(-W // cfg.tile_w), -(-H // cfg.tile_h)

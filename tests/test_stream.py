@@ -128,6 +128,25 @@ class TestStreamBinning:
                                       np.asarray(flat.inst_rank))
         assert int(tiered.overflow_tiles) == int(flat.overflow_tiles)
 
+    def test_capacity_overflow_seg_start_clamped(self):
+        # Tiles whose segments are truncated away must not carry offsets
+        # past the buffer: the stream kernels derive 128-aligned DMA windows
+        # from seg_start, so an unclamped start would read/write OOB HBM.
+        p = self._big_scene()
+        cap = 512
+        bins = bin_instances_stream(p, TILES_X, TILES_Y, 32, cap)
+        assert int(bins.overflow_capacity) > 0
+        assert int(bins.seg_start.max()) <= cap
+        ends = np.asarray(bins.seg_start) + np.asarray(bins.counts)
+        assert ends.max() <= cap
+
+    def test_increasing_tier_fracs_rejected(self):
+        p = self._big_scene(64)
+        with pytest.raises(ValueError, match="non-increasing"):
+            bin_instances_stream(p, TILES_X, TILES_Y, 32, 1 << 14,
+                                 tier_budgets=(4, 12),
+                                 tier_fracs=(0.1, 0.25))
+
     def test_tier_shortfall_counted(self):
         # More big Gaussians than the tier prefix admits: instances are
         # dropped AND the drop is visible in overflow_tiles.
