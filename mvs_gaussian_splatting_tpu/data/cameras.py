@@ -46,13 +46,34 @@ class Camera:
         self.camera_center = np.linalg.inv(W2V)[:3, 3].astype(np.float32)
 
     def view(self) -> CameraView:
-        return CameraView(
-            viewmatrix=jnp.asarray(self.world_view),
-            projmatrix=jnp.asarray(self.full_proj),
-            campos=jnp.asarray(self.camera_center),
-            tanfovx=jnp.float32(math.tan(self.fovx * 0.5)),
-            tanfovy=jnp.float32(math.tan(self.fovy * 0.5)),
-        )
+        # Cached: view() is called every training iteration, and each
+        # jnp.asarray is a host→device upload.
+        v = getattr(self, "_view_cache", None)
+        if v is None:
+            v = CameraView(
+                viewmatrix=jnp.asarray(self.world_view),
+                projmatrix=jnp.asarray(self.full_proj),
+                campos=jnp.asarray(self.camera_center),
+                tanfovx=jnp.float32(math.tan(self.fovx * 0.5)),
+                tanfovy=jnp.float32(math.tan(self.fovy * 0.5)),
+            )
+            object.__setattr__(self, "_view_cache", v)
+        return v
+
+    def device_image(self) -> Optional[jnp.ndarray]:
+        """Ground-truth image as a device-resident jnp array, uploaded once.
+
+        The reference keeps every camera's image on the GPU for the whole run
+        (scene/cameras.py:26-40 ``.to(data_device)``); uploading per
+        iteration instead costs a full H2D transfer of the image every step.
+        Cached lazily so pose-only / render-only uses pay nothing."""
+        if self.image is None:
+            return None
+        img = getattr(self, "_device_image_cache", None)
+        if img is None:
+            img = jnp.asarray(self.image)
+            object.__setattr__(self, "_device_image_cache", img)
+        return img
 
 
 def resolve_resolution(orig_w: int, orig_h: int, resolution: int,

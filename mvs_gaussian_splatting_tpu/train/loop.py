@@ -163,7 +163,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         else:
             bg_it = bg
 
-        gt = jnp.asarray(cam.image)
+        gt = cam.device_image()
         do_stats = iteration < opt_cfg.densify_until_iter
         # speculative grow/split render window (renderer :92-93, :186-196)
         spec_now = False
@@ -197,7 +197,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 tries += 1
                 if c.image.shape == size:
                     cams.append(c)
-            gts = jnp.stack([jnp.asarray(c.image) for c in cams])
+            gts = jnp.stack([c.device_image() for c in cams])
             with mesh:
                 b_params, b_adam, b_aux, b_cams, b_gts, b_bg = place_inputs(
                     params, adam, aux, stack_cameras([c.view() for c in cams]),
@@ -316,7 +316,7 @@ def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree) -> float:
         img = eval_render(params, aux.alive, cam.view(), bg,
                           width=cam.image.shape[2], height=cam.image.shape[1],
                           sh_degree=sh_degree)
-        gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+        gt = jnp.clip(cam.device_image(), 0.0, 1.0)
         vals.append(float(psnr(img, gt)[0]))
     return float(np.mean(vals))
 
