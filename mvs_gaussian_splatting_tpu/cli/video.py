@@ -36,8 +36,8 @@ def main(argv=None):
 
     base = os.path.join(args.model_path, args.split)
     if args.iteration == -1:
-        methods = sorted(os.listdir(base))
-        method = methods[-1]
+        methods = [m for m in os.listdir(base) if m.startswith("ours_")]
+        method = max(methods, key=lambda m: int(m.split("_")[-1]))
     else:
         method = f"ours_{args.iteration}"
     renders = os.path.join(base, method, "renders")

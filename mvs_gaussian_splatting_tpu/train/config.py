@@ -108,8 +108,45 @@ def save_cfg_args(model_path: str, model_cfg: ModelConfig) -> None:
         json.dump(dataclasses.asdict(model_cfg), f, indent=2)
 
 
+def parse_namespace_repr(text: str) -> dict:
+    """Safely parse a stringified argparse ``Namespace(...)`` — the cfg_args
+    format the reference writes (train.py:172-173) and reads back via
+    ``eval()`` (arguments/__init__.py:110-130). We parse the AST instead and
+    accept only literal keyword values, so hostile model dirs cannot execute
+    code."""
+    import ast
+
+    tree = ast.parse(text.strip(), mode="eval")
+    call = tree.body
+    if not (isinstance(call, ast.Call) and isinstance(call.func, ast.Name)
+            and call.func.id == "Namespace"):
+        raise ValueError("not a Namespace(...) repr")
+    out = {}
+    for kw in call.keywords:
+        if kw.arg is None:
+            continue
+        try:
+            out[kw.arg] = ast.literal_eval(kw.value)
+        except (ValueError, SyntaxError):
+            pass  # non-literal value (never produced by argparse) — skip
+    return out
+
+
 def load_cfg_args(model_path: str) -> ModelConfig:
-    with open(os.path.join(model_path, "cfg_args.json")) as f:
-        d = json.load(f)
+    """Read the saved model config: our cfg_args.json, or — for model dirs
+    produced by the reference implementation — its ``cfg_args`` Namespace
+    repr, so render/metrics drive reference-trained models unchanged."""
+    json_path = os.path.join(model_path, "cfg_args.json")
+    ref_path = os.path.join(model_path, "cfg_args")
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            d = json.load(f)
+    elif os.path.exists(ref_path):
+        with open(ref_path) as f:
+            d = parse_namespace_repr(f.read())
+        if d.get("data_device") == "cuda":
+            d["data_device"] = "tpu"
+    else:
+        raise FileNotFoundError(json_path)
     known = {f.name for f in dataclasses.fields(ModelConfig)}
     return ModelConfig(**{k: v for k, v in d.items() if k in known})

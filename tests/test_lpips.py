@@ -1,0 +1,99 @@
+"""LPIPS (eval/lpips.py) conformance vs an independent torch oracle.
+
+The container has no network egress, so the real torchvision weights can't be
+fetched — instead we generate RANDOM weights in the exact torchvision VGG16
+state-dict layout (the format convert_lpips_weights.py emits) and check that
+the jnp implementation matches a from-scratch torch implementation of the
+LPIPS-VGG architecture (reference: lpipsPyTorch/modules/networks.py:12-96,
+modules/lpips.py:8-36) on the same weights. This validates conv semantics,
+tap positions, max-pool placement, input scaling, channel-unit
+normalization, and the linear-head reduction.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mvs_gaussian_splatting_tpu.eval.lpips import _SCALE, _SHIFT, _VGG16_CFG, LPIPS
+
+# torchvision VGG16 `features` indices: conv layers sit at these positions
+# (conv, relu repeated; maxpool between blocks).
+_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def _random_weights(path, seed=0):
+    rng = np.random.RandomState(seed)
+    arrays = {}
+    in_c = 3
+    it = iter(_CONV_IDX)
+    for out_c, n_layers in _VGG16_CFG:
+        for _ in range(n_layers):
+            i = next(it)
+            arrays[f"features.{i}.weight"] = (
+                rng.randn(out_c, in_c, 3, 3).astype(np.float32) * 0.1)
+            arrays[f"features.{i}.bias"] = (
+                rng.randn(out_c).astype(np.float32) * 0.05)
+            in_c = out_c
+    for k, (out_c, _) in enumerate(_VGG16_CFG):
+        arrays[f"lin{k}"] = rng.rand(out_c).astype(np.float32)
+    np.savez(path, **arrays)
+    return arrays
+
+
+def _torch_lpips(arrays, img1, img2):
+    """Independent LPIPS-VGG oracle in torch (no torchvision needed)."""
+    shift = torch.tensor(_SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(_SCALE).view(1, 3, 1, 1)
+
+    def feats(x):
+        h = (x[None] * 2.0 - 1.0 - shift) / scale
+        out = []
+        it = iter(_CONV_IDX)
+        for bi, (out_c, n_layers) in enumerate(_VGG16_CFG):
+            for _ in range(n_layers):
+                i = next(it)
+                w = torch.tensor(arrays[f"features.{i}.weight"])
+                b = torch.tensor(arrays[f"features.{i}.bias"])
+                h = F.relu(F.conv2d(h, w, b, padding=1))
+            out.append(h)
+            if bi < len(_VGG16_CFG) - 1:
+                h = F.max_pool2d(h, 2, 2)
+        return out
+
+    f1, f2 = feats(torch.tensor(img1)), feats(torch.tensor(img2))
+    total = 0.0
+    for a, b, lk in zip(f1, f2, range(5)):
+        lin = torch.tensor(arrays[f"lin{lk}"])
+        a = a / torch.sqrt((a * a).sum(1, keepdim=True) + 1e-10)
+        b = b / torch.sqrt((b * b).sum(1, keepdim=True) + 1e-10)
+        d = (a - b) ** 2
+        total = total + (d.mean(dim=(2, 3))[0] * lin).sum()
+    return float(total)
+
+
+def test_lpips_matches_torch_oracle(tmp_path):
+    path = str(tmp_path / "w.npz")
+    arrays = _random_weights(path)
+    rng = np.random.RandomState(1)
+    img1 = rng.rand(3, 64, 64).astype(np.float32)
+    img2 = np.clip(img1 + rng.randn(3, 64, 64).astype(np.float32) * 0.1, 0, 1)
+
+    metric = LPIPS(weights_path=path)
+    got = float(metric(img1, img2))
+    want = _torch_lpips(arrays, img1, img2)
+    assert got == pytest.approx(want, rel=2e-4), (got, want)
+
+
+def test_lpips_identical_images_zero(tmp_path):
+    path = str(tmp_path / "w.npz")
+    _random_weights(path, seed=2)
+    metric = LPIPS(weights_path=path)
+    img = np.random.RandomState(3).rand(3, 32, 32).astype(np.float32)
+    assert float(metric(img, img)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lpips_missing_weights_raises(monkeypatch):
+    monkeypatch.delenv("LPIPS_WEIGHTS_NPZ", raising=False)
+    with pytest.raises(FileNotFoundError):
+        LPIPS()

@@ -123,6 +123,39 @@ class TestEndToEnd:
 
 
 class TestCheckpoint:
+    def test_resume_through_train(self, tmp_path):
+        """Full-loop resume (reference train.py:40-42,53-54): train with a
+        checkpoint, restart from it, and match a straight-through run's
+        iteration accounting."""
+        scene_info = make_synthetic_scene(n_views=3, n_gauss=20, seed=5)
+        mcfg = ModelConfig(sh_degree=1, model_path=str(tmp_path / "m1"))
+        ocfg = OptimizationConfig(iterations=40, densify_from_iter=15,
+                                  densification_interval=10,
+                                  densify_until_iter=35,
+                                  opacity_reset_interval=3000,
+                                  position_lr_max_steps=40)
+        pcfg = PipelineConfig(backend="jnp", tile_capacity=128,
+                              max_tiles_per_gaussian=16, tile_batch=16)
+        rcfg = TrainRunConfig(test_iterations=[40], save_iterations=[],
+                              checkpoint_iterations=[20], log_every=10)
+        scene = Scene(mcfg, scene_info=scene_info)
+        _, _, _, h1 = train(mcfg, ocfg, pcfg, rcfg, scene=scene,
+                            log_fn=lambda s: None)
+        chk = tmp_path / "m1" / "chkpnt20.npz"
+        assert chk.exists()
+
+        mcfg2 = ModelConfig(sh_degree=1, model_path=str(tmp_path / "m2"))
+        rcfg2 = TrainRunConfig(test_iterations=[40], save_iterations=[],
+                               start_checkpoint=str(chk), log_every=10)
+        scene2 = Scene(mcfg2, scene_info=scene_info)
+        _, _, _, h2 = train(mcfg2, ocfg, pcfg, rcfg2, scene=scene2,
+                            log_fn=lambda s: None)
+        # resumed run only covers iterations 21..40
+        assert min(i for i, _ in h2["loss"]) > 20
+        assert 40 in h2["psnr_test"]
+        # resumed final quality in the same range as the uninterrupted run
+        assert h2["psnr_test"][40] > h1["psnr_test"][40] - 2.0
+
     def test_roundtrip(self, tmp_path, trained):
         from mvs_gaussian_splatting_tpu.train.checkpoint import (load_checkpoint,
                                                                  save_checkpoint)
