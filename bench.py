@@ -105,13 +105,17 @@ def main():
     # executions with previously-seen (program, input-value) pairs, which
     # would fake arbitrarily fast steps. A time-derived base offset makes
     # every run's inputs unique; 1e-9-scale offsets don't change the
-    # workload shape.
+    # workload shape. Each iteration's input also CONSUMES the previous
+    # iteration's gradient (`0.0 * grads[0]` — a real eager multiply, so the
+    # data dependency survives), which defeats tunnel-side elision of
+    # executions whose outputs are never read (observed on the train-step
+    # benchmark: an unchained burst measured a fake 0.56 ms/step).
     iters = 10
     run_salt = (time.time_ns() % 997) * 1e-9
     t0 = time.perf_counter()
     for i in range(iters):
-        grads, aux = step(means + (run_salt + 1e-6 * (i + 1)), log_scales,
-                          quats, opac_logit, shs)
+        grads, aux = step(means + (run_salt + 1e-6 * (i + 1)) + 0.0 * grads[0],
+                          log_scales, quats, opac_logit, shs)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / iters
 

@@ -36,37 +36,61 @@ def psnr(img1, img2):
 
 
 @lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_taps(window_size: int, sigma: float) -> np.ndarray:
     g = np.array([math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
                   for x in range(window_size)], dtype=np.float32)
-    g = g / g.sum()
+    return g / g.sum()
+
+
+@lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    g = _gaussian_taps(window_size, sigma)
     return np.outer(g, g)
 
 
-def _depthwise_conv(img, window):
-    """img [C, H, W], window [k, k] → per-channel 'same' conv with zero pad."""
-    k = window.shape[0]
-    kernel = jnp.asarray(window)[None, None, :, :]  # [1, 1, k, k]
-    out = jax.lax.conv_general_dilated(
-        img[:, None, :, :],  # treat channels as batch → depthwise
-        kernel,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[:, 0, :, :]
+def _blur1d(x, taps: np.ndarray, axis: int):
+    """'Same' 1-D correlation with zero padding along ``axis``.
+
+    Written as window_size static shifted multiply-adds instead of an XLA
+    convolution: a 1-channel conv_general_dilated cannot use the MXU and
+    lowered to ~340 ms per SSIM fwd+bwd at 504x378 on TPU; the shift form
+    fuses into elementwise VPU code (<1 ms) and is exact f32.
+    """
+    k = len(taps)
+    r = k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+    out = None
+    for i in range(k):
+        term = jax.lax.slice_in_dim(xp, i, i + n, axis=axis) * taps[i]
+        out = term if out is None else out + term
+    return out
+
+
+def _depthwise_conv(img, window, sigma: float = 1.5):
+    """img [C, H, W], separable window [k, k] → per-channel 'same' conv with
+    zero padding, computed as two 1-D tap passes (see :func:`_blur1d`).
+
+    The reference convolves the 2-D outer-product window in one conv2d
+    (loss_utils.py:27-41); the separable form is the same operator up to f32
+    summation order (allclose, not bitwise)."""
+    taps = _gaussian_taps(window.shape[0], sigma)
+    return _blur1d(_blur1d(img, taps, axis=-1), taps, axis=-2)
 
 
 def ssim(img1, img2, window_size: int = 11):
     """Mean SSIM over [C, H, W] images in [0, 1], reference-exact."""
-    window = _gaussian_window(window_size, 1.5)
-    mu1 = _depthwise_conv(img1, window)
-    mu2 = _depthwise_conv(img2, window)
+    taps = _gaussian_taps(window_size, 1.5)
+    # one stacked blur for all five maps — a single fused elementwise chain
+    stack = jnp.stack([img1, img2, img1 * img1, img2 * img2, img1 * img2])
+    blurred = _blur1d(_blur1d(stack, taps, axis=-1), taps, axis=-2)
+    mu1, mu2, m11, m22, m12 = (blurred[i] for i in range(5))
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))

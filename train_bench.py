@@ -1,0 +1,112 @@
+"""Reference-workload training benchmark: full train step at fern-r=4 scale.
+
+The reference's measured training throughput is ~35-36 it/s late-training on
+LLFF fern at r=4 (504x378, ~10K init -> ~250K densified points) on one Ampere
+GPU (SURVEY §6, slurm-36838919.out). This benchmark times OUR full jitted
+train step — render fwd, L1+D-SSIM loss, backward to every parameter, Adam
+update, densification-stats accumulation — at the late-training point count
+(250K Gaussians, 504x378) on one TPU chip.
+
+Prints one JSON line: {"metric": "fern_r4_train_it_s", ...,
+"vs_baseline": it_s / 35.0}. (bench.py remains the driver-facing 1080p
+benchmark; this one exists for the reference-workload comparison and is
+referenced from README.md / BASELINE.md.)
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from bench import build_scene
+    from mvs_gaussian_splatting_tpu.models.gaussians import (GaussianAux,
+                                                             GaussianParams)
+    from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig
+    from mvs_gaussian_splatting_tpu.train.config import OptimizationConfig
+    from mvs_gaussian_splatting_tpu.train.optim import adam_init
+    from mvs_gaussian_splatting_tpu.train.step import make_train_step
+
+    width, height = 504, 378
+    n = 250_000
+    backend = "stream" if jax.default_backend() == "tpu" else "jnp"
+    tile_w, tile_h = (32, 16) if backend == "stream" else (16, 16)
+    cfg = RasterConfig(tile_w=tile_w, tile_h=tile_h, tile_capacity=1024,
+                       max_tiles_per_gaussian=32, tile_batch=256,
+                       backend=backend)
+    cam, (means, log_scales, quats, opac_logit, shs) = build_scene(
+        n, width, height)
+    params = GaussianParams(xyz=means, f_dc=shs[:, :1], f_rest=shs[:, 1:],
+                            scaling=log_scales, rotation=quats,
+                            opacity=opac_logit[:, None])
+    aux = GaussianAux(alive=jnp.ones((n,), bool),
+                      max_radii2d=jnp.zeros((n,)),
+                      xyz_grad_accum=jnp.zeros((n,)),
+                      denom=jnp.zeros((n,)))
+    adam = adam_init(params)
+    opt_cfg = OptimizationConfig()
+    step_fn = make_train_step(opt_cfg, cfg, spatial_lr_scale=4.4)
+
+    rng = np.random.RandomState(1)
+    gt = jnp.asarray(rng.rand(3, height, width).astype(np.float32))
+    bg = jnp.zeros(3)
+
+    # CHAINED timing with a terminal VALUE fetch: each step consumes the
+    # previous step's outputs (exactly like the real training loop), and the
+    # timed region ends with a host fetch of the final scalar loss. Both are
+    # required on the serving tunnel: an unchained salted burst of this step
+    # measured a fake 0.56 ms/step, and even a chained burst that only calls
+    # block_until_ready (no value fetch) reports ~0.5 ms/step — the tunnel
+    # resolves readiness of never-fetched large outputs without executing.
+    # A chained burst anchored by a scalar fetch reproduces the synchronous
+    # per-step time minus dispatch round-trip (~460 ms → ~73 ms real device
+    # time at this workload after the separable-SSIM fix).
+    salt = (time.time_ns() % 997) * 1e-9
+    params = params._replace(xyz=means + salt)
+    for _ in range(3):  # compile + warm
+        params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
+                                       jnp.int32(20_000), jnp.bool_(True),
+                                       width=width, height=height,
+                                       sh_degree=3)
+    float(m.loss)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
+                                       jnp.int32(20_000), jnp.bool_(True),
+                                       width=width, height=height,
+                                       sh_degree=3)
+    float(m.loss)           # terminal value fetch anchors the whole chain
+    dt = (time.perf_counter() - t0) / iters
+
+    it_s = 1.0 / dt
+    print(json.dumps({
+        "metric": "fern_r4_train_it_s",
+        "value": round(it_s, 2),
+        "unit": "full train steps/s (504x378, 250K gaussians, 1 chip)",
+        "vs_baseline": round(it_s / 35.0, 4),
+        "extra": {
+            "ms_per_step": round(dt * 1000, 2),
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+            "baseline": "reference ~35 it/s late-training, 1x Ampere "
+                        "(slurm-36838919.out)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
