@@ -55,21 +55,33 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
         return loss, (l1, out["radii"], out["visibility_filter"],
                       out["overflow_tiles"], out["overflow_capacity"])
 
-    @partial(jax.jit, static_argnames=("width", "height", "sh_degree"),
+    @partial(jax.jit,
+             static_argnames=("width", "height", "sh_degree", "render_n"),
              donate_argnums=(0, 1, 2))
     def step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
              cams, gts, bg, step_i, do_stats, *, width: int, height: int,
-             sh_degree: int):
+             sh_degree: int, render_n: int = 0):
         b = gts.shape[0]
+        capacity = params.xyz.shape[0]
+        n_render = render_n if render_n else capacity
+
+        def pad_c(x, fill=0):
+            if n_render == capacity:
+                return x
+            return jnp.pad(x, [(0, 0), (0, capacity - n_render)],
+                           constant_values=fill)
 
         def loss_fn(p, ndc_off):
+            # static alive-prefix slice (see train.step.train_step docstring)
+            ps = jax.tree.map(lambda a: a[:n_render], p)
             losses, (l1s, radii, vis, ot, oc) = jax.vmap(
-                lambda c, g, nd: per_camera(p, aux.alive, nd, c, g, bg,
-                                            width, height, sh_degree)
+                lambda c, g, nd: per_camera(ps, aux.alive[:n_render], nd, c,
+                                            g, bg, width, height, sh_degree)
             )(cams, gts, ndc_off)
-            return losses.mean(), (l1s.mean(), radii, vis, ot.sum(), oc.sum())
+            return losses.mean(), (l1s.mean(), pad_c(radii),
+                                   pad_c(vis, fill=False), ot.sum(), oc.sum())
 
-        ndc_zero = jnp.zeros((b, params.xyz.shape[0], 2))
+        ndc_zero = jnp.zeros((b, n_render, 2))
         (loss, (l1, radii, vis, ot, oc)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
@@ -78,6 +90,8 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
                                            alive=aux.alive)
 
         # batched densification stats: accumulate over the camera batch
+        if n_render != capacity:
+            g_ndc = jnp.pad(g_ndc, [(0, 0), (0, capacity - n_render), (0, 0)])
         gn = jnp.linalg.norm(g_ndc, axis=-1)          # [B, C]
         visf = vis.astype(jnp.float32)                # [B, C]
         new_aux = jax.lax.cond(

@@ -212,7 +212,8 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 params, adam, aux, metrics = batch_step(
                     b_params, b_adam, b_aux, b_cams, b_gts, b_bg,
                     jnp.int32(iteration), jnp.asarray(do_stats),
-                    width=size[2], height=size[1], sh_degree=active_sh)
+                    width=size[2], height=size[1], sh_degree=active_sh,
+                    render_n=render_n)
         else:
             params, adam, aux, metrics = train_step(
                 params, adam, aux, cam.view(), gt, bg_it,
