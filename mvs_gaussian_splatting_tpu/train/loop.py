@@ -263,8 +263,12 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 adam = adam._replace(mu=mu, nu=nu)
 
         # ---- logging / eval / save --------------------------------------
-        loss = float(metrics.loss)
-        ema_loss = 0.4 * loss + 0.6 * ema_loss
+        # Fetch the loss scalar only at display/log points: a per-iteration
+        # float() is a host-device sync that stalls the dispatch pipeline
+        # every step (and a full round trip on a tunneled device).
+        if iteration % 10 == 0 or iteration % run_cfg.log_every == 0:
+            loss = float(metrics.loss)
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
         if progress is not None and iteration % 10 == 0:
             progress.set_postfix({"Loss": f"{ema_loss:.7f}",
                                   "pts": int(num_alive(aux))})
@@ -286,7 +290,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                    f"alive {int(num_alive(aux))} "
                    f"({history['iter_time'][-1][1]:.1f} it/s)"
                    if history["iter_time"] else f"[ITER {iteration}]")
-        if int(metrics.overflow_capacity) > 0 and iteration % 100 == 0:
+        if iteration % 100 == 0 and int(metrics.overflow_capacity) > 0:
             log_fn(f"[ITER {iteration}] WARNING: tile capacity overflow "
                    f"{int(metrics.overflow_capacity)} entries")
 
