@@ -35,6 +35,10 @@ def compress(model_path: str, iteration: int, num_codes: int,
                              num_codes=num_codes,
                              attributes=tuple(attributes))
     arrays = {}
+    for attr in out["codes"]:
+        err = float(np.mean(np.abs(np.asarray(out["dequantized"][attr])
+                                   - np.asarray(gaussians[attr]))))
+        print(f"  {attr}: mean |dequant - raw| = {err:.5f}")
     for attr, codes in out["codes"].items():
         dtype = np.uint16 if num_codes <= 65536 else np.int32
         arrays[f"codes/{attr}"] = np.asarray(codes).astype(dtype)

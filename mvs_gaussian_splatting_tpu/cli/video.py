@@ -36,7 +36,10 @@ def main(argv=None):
 
     base = os.path.join(args.model_path, args.split)
     if args.iteration == -1:
-        methods = [m for m in os.listdir(base) if m.startswith("ours_")]
+        methods = [m for m in os.listdir(base)
+                   if m.startswith("ours_") and m.split("_")[-1].isdigit()]
+        if not methods:
+            parser.error(f"no ours_<iteration> directories under {base}")
         method = max(methods, key=lambda m: int(m.split("_")[-1]))
     else:
         method = f"ours_{args.iteration}"

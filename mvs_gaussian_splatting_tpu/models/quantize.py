@@ -98,14 +98,30 @@ def kmeans_update(state: CodebookState, x: jnp.ndarray,
 
 
 def fit_codebook(key, data: jnp.ndarray, num_codes: int,
-                 iters: int = 50) -> CodebookState:
-    """Fit a codebook to [N, D] data with EMA k-means."""
+                 iters: int = 50, dead_count: float = 1e-3) -> CodebookState:
+    """Fit a codebook to [N, D] data with EMA k-means.
+
+    Codes whose EMA assignment count decays below ``dead_count`` (never or
+    rarely assigned) are re-seeded to random data points each iteration —
+    without this, empty clusters collapse toward the zero vector via
+    sums/(counts+eps) and later snap points to spurious near-zero centroids.
+    """
     state = init_codebook(key, num_codes, data.shape[-1], data)
 
-    def body(state, _):
-        return kmeans_update(state, data), None
+    def body(carry, _):
+        state, k = carry
+        state = kmeans_update(state, data)
+        k, sub = jax.random.split(k)
+        ridx = jax.random.randint(sub, (num_codes,), 0, data.shape[0])
+        dead = state.counts < dead_count
+        seed_rows = data[ridx]
+        codebook = jnp.where(dead[:, None], seed_rows, state.codebook)
+        counts = jnp.where(dead, 1.0, state.counts)
+        sums = jnp.where(dead[:, None], seed_rows, state.sums)
+        return (CodebookState(codebook=codebook, counts=counts, sums=sums),
+                k), None
 
-    state, _ = jax.lax.scan(body, state, None, length=iters)
+    (state, _), _ = jax.lax.scan(body, (state, key), None, length=iters)
     return state
 
 

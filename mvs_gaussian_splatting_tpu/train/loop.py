@@ -265,7 +265,9 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         # ---- logging / eval / save --------------------------------------
         # Fetch the loss scalar only at display/log points: a per-iteration
         # float() is a host-device sync that stalls the dispatch pipeline
-        # every step (and a full round trip on a tunneled device).
+        # every step (and a full round trip on a tunneled device). The EMA
+        # therefore blends SAMPLED losses (every 10th) — display-only
+        # smoothing, slightly noisier than the reference's per-iteration EMA.
         if iteration % 10 == 0 or iteration % run_cfg.log_every == 0:
             loss = float(metrics.loss)
             ema_loss = 0.4 * loss + 0.6 * ema_loss
@@ -312,7 +314,8 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                         params.opacity[np.asarray(aux.alive), 0])), iteration)
             if model_cfg.model_path:
                 _dump_val_image(model_cfg.model_path, iteration, eval_render,
-                                params, aux, scene, bg, active_sh)
+                                params, aux, scene, bg, active_sh,
+                                render_n=render_n)
 
         if iteration in run_cfg.save_iterations and model_cfg.model_path:
             log_fn(f"[ITER {iteration}] Saving Gaussians")
@@ -420,7 +423,7 @@ def _make_progress(first_iter: int, iterations: int):
 
 
 def _dump_val_image(model_path, iteration, eval_render, params, aux, scene,
-                    bg, sh_degree):
+                    bg, sh_degree, render_n: int = 0):
     """Side-by-side [render | GT] validation PNG (training_report
     train.py:189-208 dumps comparable strips every ~5000 iterations)."""
     try:
@@ -428,7 +431,7 @@ def _dump_val_image(model_path, iteration, eval_render, params, aux, scene,
         cam = scene.get_test_cameras()[0]
         img = eval_render(params, aux.alive, cam.view(), bg,
                           width=cam.image.shape[2], height=cam.image.shape[1],
-                          sh_degree=sh_degree)
+                          sh_degree=sh_degree, render_n=render_n)
         side = np.concatenate([np.asarray(img),
                                np.clip(np.asarray(cam.image), 0, 1)], axis=2)
         Image.fromarray((side.transpose(1, 2, 0) * 255).astype(np.uint8)).save(

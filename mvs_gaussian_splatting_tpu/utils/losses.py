@@ -69,14 +69,16 @@ def _blur1d(x, taps: np.ndarray, axis: int):
     return out
 
 
-def _depthwise_conv(img, window, sigma: float = 1.5):
+def _depthwise_conv(img, window):
     """img [C, H, W], separable window [k, k] → per-channel 'same' conv with
     zero padding, computed as two 1-D tap passes (see :func:`_blur1d`).
 
-    The reference convolves the 2-D outer-product window in one conv2d
-    (loss_utils.py:27-41); the separable form is the same operator up to f32
-    summation order (allclose, not bitwise)."""
-    taps = _gaussian_taps(window.shape[0], sigma)
+    The 1-D taps are recovered from the window actually passed
+    (window = outer(g, g) with g ≥ 0 ⇒ g = sqrt(diag(window))), so a caller
+    supplying a different sigma gets that sigma. The reference convolves the
+    2-D window in one conv2d (loss_utils.py:27-41); the separable form is
+    the same operator up to f32 summation order (allclose, not bitwise)."""
+    taps = np.sqrt(np.maximum(np.diagonal(np.asarray(window)), 0.0))
     return _blur1d(_blur1d(img, taps, axis=-1), taps, axis=-2)
 
 

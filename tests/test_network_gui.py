@@ -52,7 +52,7 @@ def test_client_receives_frame_and_verify_string(server_port):
     result = {}
 
     def client_thread():
-        with ViewerClient("127.0.0.1", server_port, timeout=300.0) as c:
+        with ViewerClient("127.0.0.1", server_port, timeout=900.0) as c:
             fovx = math.radians(60.0)
             R, T = orbit_camera(0.3)
             rgb, verify = c.request(W, H, R, T, fovx, fovx, train=True,
@@ -68,7 +68,7 @@ def test_client_receives_frame_and_verify_string(server_port):
                   iteration=it, max_iterations=100)
         if not t.is_alive():
             break
-    t.join(timeout=300)
+    t.join(timeout=900)
     assert not t.is_alive()
 
     assert result["verify"] == "/data/scene42"
@@ -88,7 +88,7 @@ def test_zero_resolution_is_noop_and_connection_survives(server_port):
     result = {}
 
     def client_thread():
-        with ViewerClient("127.0.0.1", server_port, timeout=300.0) as c:
+        with ViewerClient("127.0.0.1", server_port, timeout=900.0) as c:
             c.disconnect_request()      # zero-res: server replies verify only
             fovx = math.radians(60.0)
             R, T = orbit_camera(1.1)
@@ -103,6 +103,6 @@ def test_zero_resolution_is_noop_and_connection_survives(server_port):
                   iteration=it, max_iterations=100)
         if not t.is_alive():
             break
-    t.join(timeout=300)
+    t.join(timeout=900)
     assert not t.is_alive()
     assert result["rgb"].shape == (H, W, 3)
