@@ -105,16 +105,18 @@ def main():
     # executions with previously-seen (program, input-value) pairs, which
     # would fake arbitrarily fast steps. A time-derived base offset makes
     # every run's inputs unique; 1e-9-scale offsets don't change the
-    # workload shape. Each iteration's input also CONSUMES the previous
-    # iteration's gradient (`0.0 * grads[0]` — a real eager multiply, so the
-    # data dependency survives), which defeats tunnel-side elision of
-    # executions whose outputs are never read (observed on the train-step
-    # benchmark: an unchained burst measured a fake 0.56 ms/step).
+    # workload shape. Deliberately UNCHAINED: chaining each input on the
+    # previous grads (tried) serializes dispatch and inflates the number
+    # with per-step host latency (191 vs 110 ms measured). Honesty of the
+    # unchained burst was verified for THIS program by scaling iters
+    # (3/10/30 → converging per-step times) and against synchronous
+    # dispatch (134 ms incl. round-trip); the tunnel's output-elision
+    # hazard only bit programs with much larger outputs (train_bench.py).
     iters = 10
     run_salt = (time.time_ns() % 997) * 1e-9
     t0 = time.perf_counter()
     for i in range(iters):
-        grads, aux = step(means + (run_salt + 1e-6 * (i + 1)) + 0.0 * grads[0],
+        grads, aux = step(means + (run_salt + 1e-6 * (i + 1)),
                           log_scales, quats, opac_logit, shs)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / iters
