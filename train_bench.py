@@ -13,6 +13,7 @@ benchmark; this one exists for the reference-workload comparison and is
 referenced from README.md / BASELINE.md.)
 """
 
+import argparse
 import json
 import math
 import sys
@@ -22,8 +23,27 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+# Reference workloads (BASELINE.md): fern r=4 late-training and MipNeRF-360
+# bicycle r=4. The bicycle baseline (~10-19 it/s on Ampere,
+# slurm-37710266.out) does not publish its densified point count; 500K is a
+# mid-range assumption from exp.xlsx ("25w"-"121w") — recorded in extras.
+WORKLOADS = {
+    "fern": dict(width=504, height=378, n=250_000, base=35.0,
+                 base_note="reference ~35 it/s late-training, 1x Ampere "
+                           "(slurm-36838919.out)"),
+    "bicycle": dict(width=1237, height=822, n=500_000, base=15.0,
+                    base_note="reference ~10-19 it/s, 1x Ampere "
+                              "(slurm-37710266.out); 500K assumed "
+                              "late-training count"),
+}
+
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workload", choices=sorted(WORKLOADS),
+                        default="fern")
+    wargs = parser.parse_args()
+    wl = WORKLOADS[wargs.workload]
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -39,8 +59,8 @@ def main():
     from mvs_gaussian_splatting_tpu.train.optim import adam_init
     from mvs_gaussian_splatting_tpu.train.step import make_train_step
 
-    width, height = 504, 378
-    n = 250_000
+    width, height = wl["width"], wl["height"]
+    n = wl["n"]
     backend = "stream" if jax.default_backend() == "tpu" else "jnp"
     tile_w, tile_h = (32, 16) if backend == "stream" else (16, 16)
     cfg = RasterConfig(tile_w=tile_w, tile_h=tile_h, tile_capacity=1024,
@@ -94,16 +114,16 @@ def main():
 
     it_s = 1.0 / dt
     print(json.dumps({
-        "metric": "fern_r4_train_it_s",
+        "metric": f"{wargs.workload}_r4_train_it_s",
         "value": round(it_s, 2),
-        "unit": "full train steps/s (504x378, 250K gaussians, 1 chip)",
-        "vs_baseline": round(it_s / 35.0, 4),
+        "unit": (f"full train steps/s ({width}x{height}, "
+                 f"{n // 1000}K gaussians, 1 chip)"),
+        "vs_baseline": round(it_s / wl["base"], 4),
         "extra": {
             "ms_per_step": round(dt * 1000, 2),
             "backend": backend,
             "device": str(jax.devices()[0]),
-            "baseline": "reference ~35 it/s late-training, 1x Ampere "
-                        "(slurm-36838919.out)",
+            "baseline": wl["base_note"],
         },
     }))
 
