@@ -337,15 +337,23 @@ def _bwd_tile(attrs_ref, gattrs_ref,
     return 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def composite_stream(attrs, seg_start, counts, bg, tile_ids,
                      tiles_x: int, tile_w: int, tile_h: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     exact_grad_mask: bool = False):
     """attrs [16, CAP + CHUNK] packed rows (tile-sorted instances, segment-
     direct); seg_start/counts [T] (arbitrary offsets); bg [3];
     tile_ids [T] i32 GLOBAL tile id per local tile (pixel-grid indirection —
     under tile-sharded shard_map each shard passes its own id range; pass
-    ``jnp.arange(T)`` single-device) → (out [T, P, 3], final_T [T, P])."""
+    ``jnp.arange(T)`` single-device) → (out [T, P, 3], final_T [T, P]).
+
+    ``exact_grad_mask``: mask the backward gradient stream per segment
+    (union of [seg_start[t], seg_start[t]+counts[t])) instead of the
+    contiguous span [first, last). Required when this call's tiles are NOT
+    a contiguous range of the stream — e.g. round-robin tile sharding —
+    where the span would keep uninitialized gradient memory belonging to
+    other shards' segments."""
     return _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
                             tile_w, tile_h, interpret)
 
@@ -403,13 +411,14 @@ def _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
 
 
 def _stream_vjp_fwd(attrs, seg_start, counts, bg, tile_ids, tiles_x, tile_w,
-                    tile_h, interpret):
+                    tile_h, interpret, exact_grad_mask):
     out, tfin = _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids,
                                  tiles_x, tile_w, tile_h, interpret)
     return (out, tfin), (attrs, seg_start, counts, bg, tile_ids, out, tfin)
 
 
-def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
+def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, exact_grad_mask,
+                    res, cts):
     attrs, seg_start, counts, bg, tile_ids, out, tfin = res
     g_out, g_tfin = cts
     t = seg_start.shape[0]
@@ -459,18 +468,28 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, res, cts):
     )(seg_start_p, counts_p, ids_p, attrs, bg.reshape(1, 3), padt(out),
       padt(tfin.reshape(t, 1, p)), padt(g_out),
       padt(g_tfin.reshape(t, 1, p)))
-    # Mask the gradient stream to this call's own segment span. Slots outside
-    # [lo, hi) are either the sentinel tail (uninitialized kernel output,
-    # masked again by the pack's validity transpose) or — under tile-sharded
-    # shard_map, where each shard sees only its contiguous tile range —
-    # OTHER shards' segments, which this shard never wrote. Zeroing them
-    # makes the shard_map transpose's automatic psum over the replicated
-    # attrs input compose exact gradients (each slot owned by exactly one
-    # shard; chunk-spill zeros and garbage both land outside [lo, hi)).
-    lo = seg_start[0]
-    hi = seg_start[-1] + counts[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gattrs.shape[1]), 1)
-    gattrs = jnp.where((lane >= lo) & (lane < hi), gattrs, 0.0)
+    # Mask the gradient stream to this call's own segments. Slots outside
+    # are either the sentinel tail (uninitialized kernel output, masked
+    # again by the pack's validity transpose) or — under tile-sharded
+    # shard_map — OTHER shards' segments, which this shard never wrote.
+    # Zeroing them makes the shard_map transpose's automatic psum over the
+    # replicated attrs input compose exact gradients (each slot owned by
+    # exactly one shard; chunk-spill zeros and garbage both land outside).
+    if exact_grad_mask:
+        # non-contiguous tile sets (round-robin sharding): union of the
+        # per-segment intervals via a +1/-1 boundary diff + prefix sum
+        width = gattrs.shape[1]
+        delta = jnp.zeros((width + 1,), jnp.int32)
+        delta = delta.at[seg_start].add(1)
+        delta = delta.at[seg_start + counts].add(-1)
+        inside = jnp.cumsum(delta[:-1]) > 0
+        gattrs = jnp.where(inside[None, :], gattrs, 0.0)
+    else:
+        # contiguous tile range: one span [first, last)
+        lo = seg_start[0]
+        hi = seg_start[-1] + counts[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, gattrs.shape[1]), 1)
+        gattrs = jnp.where((lane >= lo) & (lane < hi), gattrs, 0.0)
     g_bg = jnp.einsum("tpc,tp->c", g_out, tfin)
     return (gattrs, None, None, g_bg, None)
 

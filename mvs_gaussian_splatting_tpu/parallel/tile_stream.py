@@ -30,12 +30,19 @@ from ..ops.rasterize import (RasterConfig, assemble_stream_output,
 def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
                              image_height: int,
                              config: RasterConfig = RasterConfig(),
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             round_robin: bool = False):
     """Returns fn(processed, bg) → (image [3, H, W], aux).
 
     The tile axis (tiles_y · tiles_x, padded to the axis size) is sharded
     over ``axis``; tiles come back device-local and are reassembled. Works
     on a CPU host-device mesh with ``interpret=True`` for testing.
+
+    ``round_robin``: assign tiles to devices in stride-D order instead of
+    contiguous strips (SURVEY §7 "hard parts": dense-foreground vs sky tiles
+    make contiguous strips load-imbalanced). Each shard's tile set is then
+    non-contiguous in the instance stream, so the kernel's backward uses the
+    exact per-segment gradient mask.
     """
     from ..ops.pallas.stream import composite_stream
 
@@ -46,10 +53,12 @@ def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
     num_tiles = tiles_x * tiles_y
     pad = (-num_tiles) % n_dev
     t_padded = num_tiles + pad
+    t_per = t_padded // n_dev
 
     def local_composite(attrs, seg_start, counts, tile_ids, bg):
         out, fT = composite_stream(attrs, seg_start, counts, bg, tile_ids,
-                                   tiles_x, tile_w, tile_h, interpret)
+                                   tiles_x, tile_w, tile_h, interpret,
+                                   round_robin)
         return out, fT
 
     sharded = jax.shard_map(
@@ -71,7 +80,20 @@ def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
             [bins.counts, jnp.zeros((pad,), bins.counts.dtype)])
         tile_ids = jnp.arange(t_padded, dtype=jnp.int32)
 
-        tiles_out, final_T = sharded(attrs, seg_start, counts, tile_ids, bg)
+        if round_robin:
+            # device d composites tiles d, d+D, 2D+d, ... — per-device
+            # seg_start stays ascending (a strided subsequence of an
+            # ascending sequence), which the kernel's sequential
+            # boundary-merge relies on
+            perm = jnp.arange(t_padded, dtype=jnp.int32).reshape(
+                t_per, n_dev).T.reshape(-1)
+            tiles_out_p, final_T_p = sharded(attrs, seg_start[perm],
+                                             counts[perm], perm, bg)
+            inv = jnp.argsort(perm)
+            tiles_out, final_T = tiles_out_p[inv], final_T_p[inv]
+        else:
+            tiles_out, final_T = sharded(attrs, seg_start, counts, tile_ids,
+                                         bg)
         return assemble_stream_output(tiles_out[:num_tiles],
                                       final_T[:num_tiles], bins, processed,
                                       tiles_x, tiles_y, tile_w, tile_h,

@@ -9,7 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvs_gaussian_splatting_tpu.ops import CameraView, preprocess
-from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig, rasterize
+from mvs_gaussian_splatting_tpu.ops.rasterize import (RasterConfig,
+                                                      _rasterize_stream,
+                                                      rasterize)
 from mvs_gaussian_splatting_tpu.parallel.mesh import make_mesh
 from mvs_gaussian_splatting_tpu.parallel.tile_stream import (
     make_tile_sharded_stream)
@@ -97,3 +99,49 @@ def test_tile_sharded_stream_gradients_exact():
                             ["means", "scales", "quats", "opac", "cols"]):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
                                    atol=1e-5, rtol=1e-4, err_msg=name)
+
+
+def test_round_robin_matches_single_device():
+    """Stride-D tile assignment (load balance) must be output-invariant and
+    exercise the exact per-segment gradient mask."""
+    args = _inputs(150, seed=2)
+    p = _pre(*args)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref_img, _ = _rasterize_stream(p, W, H, bg, CFG, tiles_x=-(-W // 16),
+                                   tiles_y=-(-H // 16), interpret=True)
+    mesh = make_mesh(8, axes=("tile",))
+    fn = make_tile_sharded_stream(mesh, "tile", W, H, CFG, interpret=True,
+                                  round_robin=True)
+    with mesh:
+        img, aux = fn(p, bg)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_round_robin_gradients_exact():
+    args = _inputs(100, seed=9)
+    bg = jnp.zeros(3)
+    cot = jnp.asarray(
+        np.random.RandomState(4).rand(3, H, W).astype(np.float32))
+    tiles_x, tiles_y = -(-W // 16), -(-H // 16)
+
+    def loss_single(*a):
+        img, _ = _rasterize_stream(_pre(*a), W, H, bg, CFG, tiles_x, tiles_y,
+                                   interpret=True)
+        return (img * cot).sum()
+
+    mesh = make_mesh(8, axes=("tile",))
+    fn = make_tile_sharded_stream(mesh, "tile", W, H, CFG, interpret=True,
+                                  round_robin=True)
+
+    def loss_rr(*a):
+        with mesh:
+            img, _ = fn(_pre(*a), bg)
+        return (img * cot).sum()
+
+    g_ref = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
+    g_rr = jax.grad(loss_rr, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_rr,
+                          ("means", "scales", "quats", "opac", "cols")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3, err_msg=name)
