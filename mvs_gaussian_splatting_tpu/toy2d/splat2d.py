@@ -169,3 +169,59 @@ def fit_image(target: np.ndarray, *, capacity: int = 5000, n_init: int = 1000,
                 log_fn(f"epoch {epoch}: loss {float(loss):.4f} "
                        f"alive {int(alive.sum())}")
     return params, alive, history
+
+
+def main(argv=None):
+    """Script entry mirroring the reference toy's config.yml workflow
+    (2d_gaussian_splatting.py:222-238): fit an image, save the render.
+
+    Accepts the reference's config.yml keys (primary_samples,
+    backup_samples, num_epochs, densification_interval, learning_rate,
+    image_file_name, gradient_threshold, gaussian_threshold, image_size);
+    CLI flags override.
+    """
+    import argparse
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    parser = argparse.ArgumentParser(description="2D Gaussian splat fit")
+    parser.add_argument("--config", default="", help="reference-format yml")
+    parser.add_argument("--image", default="")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--out", default="2d_fit.png")
+    args = parser.parse_args(argv)
+
+    cfg = {}
+    if args.config:
+        import yaml
+        with open(args.config) as f:
+            cfg = yaml.safe_load(f)
+    image_path = args.image or cfg.get("image_file_name", "")
+    if not image_path:
+        parser.error("need --image or image_file_name in --config")
+    size = cfg.get("image_size", [256, 256, 3])
+    img = Image.open(image_path).convert("RGB").resize((size[1], size[0]))
+    target = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+
+    n_init = int(cfg.get("primary_samples", 1000))
+    capacity = n_init + int(cfg.get("backup_samples", 4000))
+    epochs = args.epochs or int(cfg.get("num_epochs", 500))
+    params, alive, history = fit_image(
+        target, capacity=capacity, n_init=n_init, epochs=epochs,
+        lr=float(cfg.get("learning_rate", 0.01)),
+        densification_interval=int(cfg.get("densification_interval", 100)),
+        grad_threshold=float(cfg.get("gradient_threshold", 0.002)),
+        size_threshold=float(cfg.get("gaussian_threshold", 0.75)),
+        log_fn=print)
+    out = np.asarray(render_splats2d(params, alive, target.shape[1],
+                                     target.shape[2]))
+    Image.fromarray((np.clip(out, 0, 1).transpose(1, 2, 0) * 255)
+                    .astype(np.uint8)).save(args.out)
+    print(f"saved {args.out} (loss history {history['loss'][-1]:.4f}, "
+          f"{int(alive.sum())} splats)")
+
+
+if __name__ == "__main__":
+    main()

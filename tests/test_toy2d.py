@@ -52,3 +52,32 @@ class TestFit2D:
         img = render_splats2d(params, alive, tgt.shape[1], tgt.shape[2])
         l1 = float(jnp.abs(img - jnp.asarray(tgt)).mean())
         assert l1 < 0.1, l1
+
+
+def test_toy2d_cli_with_reference_config(tmp_path):
+    """The script entry accepts the reference's config.yml keys
+    (2D-Gaussian-Splatting-main/config.yml) and writes a fitted render."""
+    import numpy as np
+    import yaml
+    from PIL import Image
+
+    from mvs_gaussian_splatting_tpu.toy2d import splat2d
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "target.png")
+    with open(tmp_path / "config.yml", "w") as f:
+        yaml.safe_dump({
+            "image_size": [32, 32, 3],
+            "primary_samples": 50,
+            "backup_samples": 100,
+            "num_epochs": 30,
+            "densification_interval": 20,
+            "learning_rate": 0.02,
+            "image_file_name": str(tmp_path / "target.png"),
+            "gradient_threshold": 0.002,
+            "gaussian_threshold": 0.75,
+        }, f)
+    out = str(tmp_path / "fit.png")
+    splat2d.main(["--config", str(tmp_path / "config.yml"), "--out", out])
+    assert Image.open(out).size == (32, 32)
