@@ -34,16 +34,35 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
     sphere_dirs = (jnp.asarray(sphere_dirs, jnp.float32)
                    if sphere_dirs is not None else None)
 
-    @partial(jax.jit, static_argnames=("width", "height", "sh_degree"))
+    @partial(jax.jit,
+             static_argnames=("width", "height", "sh_degree", "render_n"))
     def step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
              camera, gt, bg, step_i, do_stats, key, *, width: int,
-             height: int, sh_degree: int):
+             height: int, sh_degree: int, render_n: int = 0):
         capacity = params.xyz.shape[0]
+        n_render = render_n if render_n else capacity
         grads_stat = densification_grads(aux)
 
+        def pad_c(x, fill=0):
+            if n_render == capacity:
+                return x
+            return jnp.pad(x,
+                           [(0, capacity - n_render)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
+
+        # alive-prefix slice (train/step.py render_n contract): candidate
+        # selection sees the same alive set, so the speculation block and
+        # render output are identical to the full-capacity step
+        aux_s = GaussianAux(alive=aux.alive[:n_render],
+                            max_radii2d=aux.max_radii2d[:n_render],
+                            xyz_grad_accum=aux.xyz_grad_accum[:n_render],
+                            denom=aux.denom[:n_render])
+        grads_stat_s = grads_stat[:n_render]
+
         def loss_fn(p, ndc_off):
+            ps = jax.tree.map(lambda a: a[:n_render], p)
             augd = speculative_augment(
-                p, aux, grads_stat, sphere_dirs, grow_cfg,
+                ps, aux_s, grads_stat_s, sphere_dirs, grow_cfg,
                 opt_cfg.densify_grad_threshold, extent,
                 opt_cfg.percent_dense, spec_size, key)
             shs = jnp.concatenate([augd["f_dc"], augd["f_rest"]], axis=1)
@@ -70,7 +89,7 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
                 loss = loss + opt_cfg.opacitysparse * sparse
             return loss, (l1, raux)
 
-        n_aug = capacity + 2 * spec_size
+        n_aug = n_render + 2 * spec_size
         ndc_zero = jnp.zeros((n_aug, 2))
         (loss, (l1, raux)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
@@ -80,11 +99,12 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
                                            alive=aux.alive)
 
         # stats over the ORIGINAL points only (radii sliced back, :266-269)
-        radii = raux["radii"][:capacity]
+        radii = pad_c(raux["radii"][:n_render])
         visible = radii > 0
         new_aux = jax.lax.cond(
             do_stats,
-            lambda a: add_densification_stats(a, radii, g_ndc[:capacity],
+            lambda a: add_densification_stats(a, radii,
+                                              pad_c(g_ndc[:n_render]),
                                               visible),
             lambda a: a, aux)
 

@@ -190,7 +190,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 params, adam, aux, cam.view(), gt, bg_it,
                 jnp.int32(iteration), jnp.asarray(do_stats), sub,
                 width=cam.image.shape[2], height=cam.image.shape[1],
-                sh_degree=active_sh)
+                sh_degree=active_sh, render_n=render_n)
         elif batch_step is not None:
             from ..parallel.data_parallel import stack_cameras
             size = cam.image.shape

@@ -114,3 +114,49 @@ class TestRenderBucket:
         for n in (1, 7, 1023, 1024, 5000, 100_000, 700_000):
             b = _render_bucket(n, 1 << 20)
             assert b == 0 or b >= n
+
+
+class TestSpecStepSliceEquivalence:
+    def test_grow_spec_step_sliced_matches_full(self):
+        from mvs_gaussian_splatting_tpu.models.grow import GrowConfig
+        from mvs_gaussian_splatting_tpu.train.grow_step import (
+            make_spec_train_step)
+        from mvs_gaussian_splatting_tpu.utils.sphere import sphere_points
+
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-0.8, 0.8, (40, 3)).astype(np.float32)
+        cols = rng.rand(40, 3).astype(np.float32)
+        extras = {"grow_dir": True, "grow_distance": True,
+                  "continous_dir": False, "learn_split_distance": True,
+                  "learn_split_scale": True}
+        params, aux = init_from_pcd(pts, cols, 256, sh_degree=1,
+                                    extras=extras, num_dirs=16,
+                                    key=jax.random.PRNGKey(0))
+        # give the stats some gradient signal so candidates are selected
+        aux = aux._replace(
+            xyz_grad_accum=jnp.asarray(rng.rand(256) * 1e-2, jnp.float32),
+            denom=jnp.ones(256))
+        adam = adam_init(params)
+        cam = _camera()
+        gt = jnp.asarray(rng.rand(3, 64, 64).astype(np.float32))
+        cfg = RasterConfig(backend="jnp", tile_capacity=128,
+                           max_tiles_per_gaussian=16, tile_batch=16)
+        gcfg = GrowConfig(grow_dir=True, grow_distance=True, num_dirs=16,
+                          learn_split_distance=True, learn_split_scale=True)
+        step = make_spec_train_step(OptimizationConfig(), cfg, 4.0, gcfg,
+                                    sphere_points(16), spec_size=32,
+                                    extent=4.0)
+        key = jax.random.PRNGKey(3)
+        common = (params, adam, aux, cam, gt, jnp.zeros(3), jnp.int32(10),
+                  jnp.bool_(True), key)
+        p_full, _, aux_full, m_full = step(*common, width=64, height=64,
+                                           sh_degree=1)
+        p_sl, _, aux_sl, m_sl = step(*common, width=64, height=64,
+                                     sh_degree=1, render_n=64)
+        assert float(m_full.loss) == float(m_sl.loss)
+        np.testing.assert_allclose(np.asarray(p_full.xyz),
+                                   np.asarray(p_sl.xyz), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(p_full.dirs_prob),
+                                   np.asarray(p_sl.dirs_prob), atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(aux_full.denom),
+                                      np.asarray(aux_sl.denom))
