@@ -173,7 +173,8 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          chunk: int = 128, tile_w: int = 16,
                          tile_h: int = 16,
                          tier_budgets=(4, 12),
-                         tier_fracs=(0.25, 0.1)) -> StreamBins:
+                         tier_fracs=(0.25, 0.1),
+                         round_robin: int = 0) -> StreamBins:
     """Depth-presorted, single-key tile sort consumed in segment layout.
 
     Gaussians are depth-sorted once (N entries), instances enumerated in that
@@ -198,10 +199,25 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     than its threshold (each prefix is floored at min(N, 512), so small
     scenes are always exact). Shortfall is counted in ``overflow_tiles``,
     never silent. Pass ``tier_budgets=()`` for the flat single-tier layout.
+
+    ``round_robin=D`` (D > 0) remaps tile ids destination-major before the
+    sort: tile ``t`` sorts under key ``(t mod D)·⌈T/D⌉ + t div D``, so the
+    instances owned by round-robin shard d (tiles ≡ d mod D — the load-
+    balanced assignment from SURVEY §7 "hard parts") form ONE contiguous
+    slice of the stream, ready for a fixed-quota dynamic-slice exchange
+    (parallel/gauss_stream.py). ``seg_start``/``counts`` then have length
+    ``D·⌈T/D⌉`` and index position ``k`` = original tile
+    ``(k mod ⌈T/D⌉)·D + k div ⌈T/D⌉`` (padding positions are empty).
     """
     n = processed.xy.shape[0]
     d = max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
+    if round_robin:
+        t_per_rr = -(-num_tiles // round_robin)
+        t_out = round_robin * t_per_rr
+    else:
+        t_per_rr = 0
+        t_out = num_tiles
 
     depth_key = jnp.where(processed.mask, processed.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # [N]
@@ -222,9 +238,9 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     area = jnp.where(mask_o, span_x * span_y, 0)
 
     rank_bits = max((n - 1).bit_length(), 1)
-    tile_bits = (num_tiles + 1 - 1).bit_length()
+    tile_bits = (t_out + 1 - 1).bit_length()
     packed = rank_bits + tile_bits <= 31
-    sentinel = ((num_tiles << rank_bits) if packed else num_tiles)
+    sentinel = ((t_out << rank_bits) if packed else t_out)
 
     def enumerate_tier(rows, lo: int, hi: int, row_area, row_rect):
         """Instance keys for tile slots j∈[lo,hi) of the Gaussians in
@@ -238,7 +254,10 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
         valid = j[None, :] < jnp.minimum(row_area, hi)[:, None]
         valid &= _tile_in_level_set(row_rect[:, 5:7], row_rect[:, 7], tx, ty,
                                     tile_w, tile_h)
-        tid = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+        tid = (ty * tiles_x + tx).astype(jnp.int32)
+        if round_robin:
+            tid = (tid % round_robin) * t_per_rr + tid // round_robin
+        tid = jnp.where(valid, tid, t_out)
         rk = jnp.broadcast_to(rows[:, None], tid.shape)
         if packed:
             key = jnp.where(valid, (tid << rank_bits) | rk, sentinel)
@@ -292,10 +311,10 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
         sorted_key = sorted_tile
         bound = lambda t: t.astype(jnp.int32) if hasattr(t, "astype") else jnp.int32(t)
 
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_range = jnp.arange(t_out, dtype=jnp.int32)
     seg_start = jnp.searchsorted(sorted_key, bound(tile_range),
                                  side="left").astype(jnp.int32)
-    n_valid = jnp.searchsorted(sorted_key, bound(jnp.int32(num_tiles)),
+    n_valid = jnp.searchsorted(sorted_key, bound(jnp.int32(t_out)),
                                side="left").astype(jnp.int32)
     seg_end = jnp.concatenate([seg_start[1:], n_valid[None]])
     counts_raw = seg_end - seg_start

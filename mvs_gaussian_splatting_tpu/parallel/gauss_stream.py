@@ -8,13 +8,17 @@ and instances are exchanged to their tile-owner device with one
 ``all_to_all``. Scales the O(N·log N) binning front half, which dominates
 small-image steps, in addition to the composite.
 
-Per-device pipeline inside ``shard_map`` (device d, tile strip d):
+Per-device pipeline inside ``shard_map`` (device d owns tiles ≡ d mod D
+round-robin by default — load-balanced across the image, SURVEY §7 "hard
+parts"; ``round_robin=False`` falls back to contiguous strips):
 1. local ``bin_instances_stream`` over the shard's N/D Gaussians — a
    tile-then-depth sorted local instance stream (depth row carried in the
-   packed rows for the cross-device merge);
-2. the stream is tile-ordered, so the instances destined for each strip are
-   one CONTIGUOUS slice: D dynamic slices of a fixed quota Q each (no
-   per-row gather), truncation counted in ``overflow_quota``;
+   packed rows for the cross-device merge). Under round-robin the binning
+   sorts tile ids DESTINATION-MAJOR (``round_robin=D`` remap), so each
+   owner's tiles still occupy one contiguous span of the stream;
+2. the instances destined for each destination are therefore one CONTIGUOUS
+   slice either way: D dynamic slices of a fixed quota Q each (no per-row
+   gather), truncation counted in ``overflow_quota``;
 3. one ``all_to_all`` exchanges rows [D, Q, 16] + per-tile counts;
 4. merge: received chunks are (tile, depth)-sorted per source; one
    (tile, depth)-key sort over the D·Q candidates with a row-index payload
@@ -50,6 +54,7 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
                               config: RasterConfig = RasterConfig(),
                               n_total: Optional[int] = None,
                               quota: Optional[int] = None,
+                              round_robin: bool = True,
                               interpret: bool = False):
     """Returns fn(processed, bg) → (image [3, H, W], aux).
 
@@ -57,6 +62,9 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
     axis size (the training loop's render buckets are powers of two).
     ``quota`` is the per-(src, dst) instance budget of the exchange; default
     2·cap_local/D, CHUNK-aligned; shortfall lands in aux["overflow_quota"].
+    ``round_robin`` assigns device d the tiles ≡ d mod D (even foreground/
+    sky mix per device) instead of contiguous raster strips; image and
+    gradients are exact either way (tested vs single-device).
     """
     from ..ops.pallas.stream import composite_stream
 
@@ -81,11 +89,13 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
             q = 2 * cap // n_dev
         q += (-q) % CHUNK
 
-        # 1. local binning over this shard's Gaussians
+        # 1. local binning over this shard's Gaussians (destination-major
+        # tile order under round-robin, so step 2 stays contiguous slices)
         bins = bin_instances_stream(
             jax.lax.stop_gradient(processed), tiles_x, tiles_y,
             config.max_tiles_per_gaussian, cap, tile_w=tile_w, tile_h=tile_h,
-            tier_budgets=config.tier_budgets, tier_fracs=config.tier_fracs)
+            tier_budgets=config.tier_budgets, tier_fracs=config.tier_fracs,
+            round_robin=(n_dev if round_robin else 0))
 
         table = jnp.concatenate([
             processed.xy,                                   # 0, 1
@@ -98,14 +108,19 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
         rows = jnp.where(bins.inst_valid[:, None],
                          table[bins.inst_rank], 0.0)        # [cap+CHUNK, 16]
 
-        # 2. contiguous strip slices at fixed quota
-        seg_end = bins.seg_start[-1] + bins.counts[-1]
-        seg_start_pad = jnp.concatenate(
-            [bins.seg_start,
-             jnp.broadcast_to(seg_end, (t_padded - num_tiles,))])
-        counts_pad = jnp.concatenate(
-            [bins.counts,
-             jnp.zeros((t_padded - num_tiles,), bins.counts.dtype)])
+        # 2. contiguous destination slices at fixed quota
+        if round_robin:
+            # binning already emitted t_padded destination-major segments
+            seg_start_pad, counts_pad = bins.seg_start, bins.counts
+        else:
+            seg_end0 = bins.seg_start[-1] + bins.counts[-1]
+            seg_start_pad = jnp.concatenate(
+                [bins.seg_start,
+                 jnp.broadcast_to(seg_end0, (t_padded - num_tiles,))])
+            counts_pad = jnp.concatenate(
+                [bins.counts,
+                 jnp.zeros((t_padded - num_tiles,), bins.counts.dtype)])
+        seg_end = seg_start_pad[-1] + counts_pad[-1]
         strip_lo = seg_start_pad[::t_per]                   # [D]
         strip_hi = jnp.concatenate([strip_lo[1:], seg_end[None]])
         strip_count = strip_hi - strip_lo                   # [D]
@@ -152,8 +167,12 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
         seg_end_l = jnp.concatenate([seg_start[1:], n_valid[None]])
         counts = seg_end_l - seg_start
 
-        # 5. composite the strip (global tile ids)
-        tile_ids = d_idx * t_per + tile_range
+        # 5. composite the owned tiles (global tile ids; padding positions
+        # past num_tiles have count 0 and are dropped at assembly)
+        if round_robin:
+            tile_ids = tile_range * n_dev + d_idx
+        else:
+            tile_ids = d_idx * t_per + tile_range
         out, final_t = composite_stream(
             merged.T, seg_start, counts, bg, tile_ids, tiles_x, tile_w,
             tile_h, interpret)
@@ -175,11 +194,21 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
         assert processed.xy.shape[0] % n_dev == 0, (
             f"N={processed.xy.shape[0]} not divisible by {n_dev} devices")
         tiles_out, final_t, stats = sharded(processed, bg)
-        image = _assemble_image(tiles_out[:num_tiles].transpose(0, 2, 1),
+        if round_robin:
+            # concatenated shard outputs are destination-major: position
+            # d·t_per + l holds global tile l·D + d
+            t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+            remap = (t_idx % n_dev) * t_per + t_idx // n_dev
+            tiles_out = tiles_out[remap]
+            final_t = final_t[remap]
+        else:
+            tiles_out = tiles_out[:num_tiles]
+            final_t = final_t[:num_tiles]
+        image = _assemble_image(tiles_out.transpose(0, 2, 1),
                                 tiles_x, tiles_y, tile_w, tile_h,
                                 image_width, image_height)
         ft_img = _assemble_image(
-            jnp.broadcast_to(final_t[:num_tiles, None, :],
+            jnp.broadcast_to(final_t[:, None, :],
                              (num_tiles, 3, tile_h * tile_w)),
             tiles_x, tiles_y, tile_w, tile_h, image_width, image_height)[0]
         aux = {

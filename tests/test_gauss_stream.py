@@ -7,6 +7,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvs_gaussian_splatting_tpu.ops import CameraView, preprocess
 from mvs_gaussian_splatting_tpu.ops.rasterize import (RasterConfig,
@@ -52,14 +53,16 @@ CFG = RasterConfig(max_tiles_per_gaussian=16, backend="stream")
 TILES_X, TILES_Y = -(-W // 16), -(-H // 16)
 
 
-def test_gauss_sharded_matches_single_device():
+@pytest.mark.parametrize("round_robin", [True, False])
+def test_gauss_sharded_matches_single_device(round_robin):
     args = _inputs(152)
     p = _pre(*args)
     bg = jnp.array([0.2, 0.3, 0.4])
     ref_img, _ = _rasterize_stream(p, W, H, bg, CFG, TILES_X, TILES_Y,
                                    interpret=True)
     mesh = make_mesh(8, axes=("gauss",))
-    fn = make_gauss_sharded_stream(mesh, "gauss", W, H, CFG, interpret=True)
+    fn = make_gauss_sharded_stream(mesh, "gauss", W, H, CFG,
+                                   round_robin=round_robin, interpret=True)
     with mesh:
         img, aux = fn(p, bg)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
@@ -68,7 +71,28 @@ def test_gauss_sharded_matches_single_device():
     assert int(aux["overflow_capacity"]) == 0
 
 
-def test_gauss_sharded_gradients_match():
+def test_gauss_sharded_round_robin_nondivisible_tiles():
+    # 7×6 = 42 tiles on 8 devices: t_per = 6, 6 padding positions — the
+    # destination-major remap and the assembly inverse must still agree
+    # with the single-device image
+    w, h = 112, 96
+    tx, ty = -(-w // 16), -(-h // 16)
+    args = _inputs(152, seed=11)
+    p = preprocess(args[0], args[3], _camera(), w, h, scales=args[1],
+                   rotations=normalize(args[2]), colors_precomp=args[4])
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref_img, _ = _rasterize_stream(p, w, h, bg, CFG, tx, ty, interpret=True)
+    mesh = make_mesh(8, axes=("gauss",))
+    fn = make_gauss_sharded_stream(mesh, "gauss", w, h, CFG,
+                                   round_robin=True, interpret=True)
+    with mesh:
+        img, _ = fn(p, bg)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("round_robin", [True, False])
+def test_gauss_sharded_gradients_match(round_robin):
     args = _inputs(104, seed=7)
     bg = jnp.zeros(3)
     cot = jnp.asarray(
@@ -80,7 +104,8 @@ def test_gauss_sharded_gradients_match():
         return (img * cot).sum()
 
     mesh = make_mesh(8, axes=("gauss",))
-    fn = make_gauss_sharded_stream(mesh, "gauss", W, H, CFG, interpret=True)
+    fn = make_gauss_sharded_stream(mesh, "gauss", W, H, CFG,
+                                   round_robin=round_robin, interpret=True)
 
     def loss_sharded(*a):
         with mesh:
