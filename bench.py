@@ -95,6 +95,31 @@ def main():
     grads, aux = step(means, log_scales, quats, opac_logit, shs)
     jax.block_until_ready(grads)
     overflow = int(aux["overflow_capacity"])
+
+    if backend == "stream":
+        # Calibrate the static instance capacity to the measured tile load
+        # (+12% headroom) instead of the a-priori 5.7·N heuristic — every
+        # per-instance stage (tile sort, row pack, backward scatter-add)
+        # scales with this STATIC capacity. The training loop does the same
+        # via its overflow-driven bucket logic; here one calibration compile
+        # suffices. Honesty guard: re-read the overflow counter and fall
+        # back to the auto cap if the tight cap would drop entries.
+        load = int(aux["tile_counts"].sum())
+        cap = load + int(0.12 * load)
+        cap += (-cap) % 128
+        cfg = cfg._replace(instance_cap=cap)
+        step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4),
+                                has_aux=True))
+        grads, aux = step(means, log_scales, quats, opac_logit, shs)
+        jax.block_until_ready(grads)
+        overflow = int(aux["overflow_capacity"])
+        if overflow:
+            cfg = cfg._replace(instance_cap=None)
+            step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4),
+                                    has_aux=True))
+            grads, aux = step(means, log_scales, quats, opac_logit, shs)
+            jax.block_until_ready(grads)
+            overflow = int(aux["overflow_capacity"])
     warm_salt = -(time.time_ns() % 997) * 1e-9
     for i in range(2):
         grads, aux = step(means + (warm_salt - 1e-6 * (i + 1)), log_scales,

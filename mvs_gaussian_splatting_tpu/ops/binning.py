@@ -14,7 +14,7 @@ Both caps are explicit and *reported* (`overflow_tiles`, `overflow_capacity`)
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -168,13 +168,29 @@ def auto_instance_cap(n: int, max_tiles_per_gaussian: int, tile_w: int,
     return cap + (-cap) % 128
 
 
+def rect_table(processed: Processed) -> jnp.ndarray:
+    """[N, 8] f32 rect/cull row per Gaussian (binning's internal layout:
+    rect_min, rect_max, mask, xy, cull_r2). Exposed so callers that already
+    gather per-Gaussian attribute rows in depth order can append these 8
+    columns and hand the ordered view to :func:`bin_instances_stream` —
+    TPU row-gathers cost ~15 ns/row *independent of row width*, so fusing
+    the two gathers saves a whole [N]-row gather."""
+    return jnp.concatenate(
+        [processed.rect_min.astype(jnp.float32),
+         processed.rect_max.astype(jnp.float32),
+         processed.mask[:, None].astype(jnp.float32),
+         processed.xy, processed.cull_r2[:, None]], axis=1)
+
+
 def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
                          max_tiles_per_gaussian: int, cap: int,
                          chunk: int = 128, tile_w: int = 16,
                          tile_h: int = 16,
                          tier_budgets=(4, 12),
                          tier_fracs=(0.25, 0.1),
-                         round_robin: int = 0) -> StreamBins:
+                         round_robin: int = 0,
+                         order: Optional[jnp.ndarray] = None,
+                         rect_ordered: Optional[jnp.ndarray] = None) -> StreamBins:
     """Depth-presorted, single-key tile sort consumed in segment layout.
 
     Gaussians are depth-sorted once (N entries), instances enumerated in that
@@ -208,6 +224,12 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     (parallel/gauss_stream.py). ``seg_start``/``counts`` then have length
     ``D·⌈T/D⌉`` and index position ``k`` = original tile
     ``(k mod ⌈T/D⌉)·D + k div ⌈T/D⌉`` (padding positions are empty).
+
+    ``order``/``rect_ordered``: optional precomputed depth order and the
+    depth-ordered :func:`rect_table` rows — callers that gather attribute
+    rows by the same order pass both so the [N]-row rect gather fuses into
+    their attribute gather (see ``rect_table``). Must be exactly
+    ``argsort(where(mask, depth, inf))`` and ``rect_table(processed)[order]``.
     """
     n = processed.xy.shape[0]
     d = max_tiles_per_gaussian
@@ -219,17 +241,14 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
         t_per_rr = 0
         t_out = num_tiles
 
-    depth_key = jnp.where(processed.mask, processed.depth, jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # [N]
-
-    # one row-gather for all rect data (scalar gathers are slow on TPU);
-    # rect coords carried as f32 (exact for values < 2^24)
-    rect_table = jnp.concatenate(
-        [processed.rect_min.astype(jnp.float32),
-         processed.rect_max.astype(jnp.float32),
-         processed.mask[:, None].astype(jnp.float32),
-         processed.xy, processed.cull_r2[:, None]], axis=1)        # [N, 8]
-    rect_o = rect_table[order]
+    if order is None:
+        depth_key = jnp.where(processed.mask, processed.depth, jnp.inf)
+        order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # [N]
+    if rect_ordered is None:
+        # one row-gather for all rect data (scalar gathers are slow on TPU);
+        # rect coords carried as f32 (exact for values < 2^24)
+        rect_ordered = rect_table(processed)[order]                # [N, 8]
+    rect_o = rect_ordered
     rect_min = rect_o[:, 0:2].astype(jnp.int32)
     rect_max = rect_o[:, 2:4].astype(jnp.int32)
     mask_o = rect_o[:, 4] > 0

@@ -69,6 +69,20 @@ def _chunk_terms(buf, lo, hi, px, py):
     return dx, dy, g, alpha, contrib, (ca, cb, cc, op)
 
 
+def _seg_meta(start_ref, count_ref, t):
+    """(base, off, count, n_chunks) of tile ``t``'s segment window.
+
+    Segment offsets are unaligned; kernels DMA 128-aligned windows covering
+    the segment and mask the lead-in lanes (off = start mod CHUNK). Empty
+    segments (count 0) get n_chunks 0 — no DMA, no junk chunk."""
+    start = start_ref[t]
+    count = count_ref[t]
+    off = jax.lax.rem(start, CHUNK)
+    base = pl.multiple_of(start - off, CHUNK)
+    n_chunks = jnp.where(count > 0, (off + count + CHUNK - 1) // CHUNK, 0)
+    return base, off, count, n_chunks
+
+
 def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
                        out_ref, tfin_ref, buf, sem, *,
                        tiles_x: int, tile_w: int, tile_h: int,
@@ -76,34 +90,56 @@ def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
     p = tile_w * tile_h
     pid = pl.program_id(0)
 
-    def one_tile(b, _):
+    def dma_at(base, c, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            buf.at[slot], sem.at[slot])
+
+    # Cross-tile pipelining: the read-buffer slot parity ``s`` is carried
+    # across the batch's tiles so the NEXT tile's first chunk is prefetched
+    # during the current tile's last chunk compute — without it every tile
+    # paid one exposed DMA latency (~1.3 µs × all tiles) at its first wait.
+    # Each grid step primes its own first tile (one exposed DMA per batch).
+    if PREFETCH:
+        base0, _, _, n0 = _seg_meta(start_ref, count_ref, pid * tile_batch)
+
+        @pl.when(n0 > 0)
+        def _():
+            dma_at(base0, 0, 0).start()
+
+    def one_tile(b, s):
         t = pid * tile_batch + b
         px, py = _pixel_grid(ids_ref[t], tiles_x, tile_w, tile_h, p)
-        start = start_ref[t]
-        count = count_ref[t]
-        # Segment offsets are unaligned; DMA 128-aligned windows covering the
-        # segment and mask the lead-in lanes (off = start mod CHUNK).
-        off = jax.lax.rem(start, CHUNK)
-        base = pl.multiple_of(start - off, CHUNK)
-        n_chunks = (off + count + CHUNK - 1) // CHUNK
+        base, off, count, n_chunks = _seg_meta(start_ref, count_ref, t)
+        t_max = start_ref.shape[0]
+        nbase, _, _, nn = _seg_meta(start_ref, count_ref,
+                                    jnp.minimum(t + 1, t_max - 1))
+        issue_next = (b + 1 < tile_batch) & (nn > 0)
 
         def dma(c, slot):
-            return pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
-                buf.at[slot], sem.at[slot])
+            return dma_at(base, c, slot)
 
-        @pl.when(n_chunks > 0)
-        def _():
-            dma(0, 0).start()
+        if not PREFETCH:
+            s = jnp.int32(0)
+
+            @pl.when(n_chunks > 0)
+            def _():
+                dma(0, 0).start()
 
         def body(state):
             c, t_mono, tmin, acc_r, acc_g, acc_b = state
-            slot = c % 2
+            slot = (s + c) & 1
 
             if PREFETCH:
+                nxt = (s + c + 1) & 1
+
                 @pl.when(c + 1 < n_chunks)
                 def _():
-                    dma(c + 1, (c + 1) % 2).start()
+                    dma(c + 1, nxt).start()
+
+                @pl.when((c + 1 == n_chunks) & issue_next)
+                def _():
+                    dma_at(nbase, 0, nxt).start()
             else:
                 @pl.when(c > 0)
                 def _():
@@ -141,13 +177,25 @@ def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
                                                                  init)
 
         # Early exit leaves the prefetched next chunk's DMA in flight — drain
-        # it or the semaphore state corrupts the next tile. (Without prefetch
-        # no DMA can be outstanding at exit; waiting would hang on a
-        # semaphore that was never signaled.)
+        # it or the semaphore state corrupts the next tile — then issue the
+        # next tile's first chunk into the freed slot (this path pays the
+        # exposed latency; normal exits issued it during the last chunk's
+        # compute). Empty tiles (n_chunks == 0) had nothing prefetched for
+        # them, so they issue for their successor here. (Without prefetch no
+        # DMA can be outstanding at exit; waiting would hang on a semaphore
+        # that was never signaled.)
         if PREFETCH:
             @pl.when(c_end < n_chunks)
             def _():
-                dma(c_end, c_end % 2).wait()
+                dma(c_end, (s + c_end) & 1).wait()
+
+                @pl.when(issue_next)
+                def _():
+                    dma_at(nbase, 0, (s + c_end) & 1).start()
+
+            @pl.when((n_chunks == 0) & issue_next)
+            def _():
+                dma_at(nbase, 0, s & 1).start()
 
         # Reassociating the sum (chunks-then-lanes instead of lanes-then-
         # chunks) shifts final pixel values by a few f32 ulps; include/
@@ -160,9 +208,9 @@ def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
         t_fin = jnp.minimum(1.0, jnp.min(tmin, axis=1, keepdims=True))
         out_ref[b, :, :] = acc + t_fin * bg_ref[:, :]
         tfin_ref[b, :, :] = t_fin.reshape(1, p)
-        return 0
+        return (s + c_end) & 1
 
-    jax.lax.fori_loop(0, tile_batch, one_tile, 0)
+    jax.lax.fori_loop(0, tile_batch, one_tile, jnp.int32(0))
 
 
 def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
@@ -173,14 +221,23 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
     p = tile_w * tile_h
     pid = pl.program_id(0)
 
-    def one_tile(b, _):
+    # Prime the read pipeline for the batch's first tile (see fwd kernel);
+    # subsequent tiles' first chunks are prefetched by their predecessor.
+    base0, _, _, n0 = _seg_meta(start_ref, count_ref, pid * tile_batch)
+
+    @pl.when(n0 > 0)
+    def _():
+        pltpu.make_async_copy(attrs_ref.at[:, pl.ds(base0, CHUNK)],
+                              buf.at[0], sem.at[0]).start()
+
+    def one_tile(b, s):
         t = pid * tile_batch + b
         px, py = _pixel_grid(ids_ref[t], tiles_x, tile_w, tile_h, p)
-        start = start_ref[t]
-        count = count_ref[t]
-        off = jax.lax.rem(start, CHUNK)
-        base = pl.multiple_of(start - off, CHUNK)
-        n_chunks = (off + count + CHUNK - 1) // CHUNK
+        base, off, count, n_chunks = _seg_meta(start_ref, count_ref, t)
+        t_max = start_ref.shape[0]
+        nbase, _, _, nn = _seg_meta(start_ref, count_ref,
+                                    jnp.minimum(t + 1, t_max - 1))
+        issue_next = (b + 1 < tile_batch) & (nn > 0)
 
         g_out = gout_ref[b, :, :]                     # [P, 3]
         t_fin = tfin_ref[b, :, :].reshape(p, 1)
@@ -191,19 +248,24 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
         return _bwd_tile(attrs_ref, gattrs_ref,
                          buf, gbuf, gprev, sem, gsem, psem,
                          px, py, off, base, n_chunks, count,
-                         g_out, t_fin, g_tfin_ext, g_dot_out, p)
+                         g_out, t_fin, g_tfin_ext, g_dot_out, p,
+                         s, issue_next, nbase)
 
-    jax.lax.fori_loop(0, tile_batch, one_tile, 0)
+    jax.lax.fori_loop(0, tile_batch, one_tile, jnp.int32(0))
 
 
 def _bwd_tile(attrs_ref, gattrs_ref,
               buf, gbuf, gprev, sem, gsem, psem,
               px, py, off, base, n_chunks, count,
-              g_out, t_fin, g_tfin_ext, g_dot_out, p):
-    def dma_in(c, slot):
+              g_out, t_fin, g_tfin_ext, g_dot_out, p,
+              s, issue_next, nbase):
+    def dma_in_at(b_, c, slot):
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            attrs_ref.at[:, pl.ds(b_ + c * CHUNK, CHUNK)],
             buf.at[slot], sem.at[slot])
+
+    def dma_in(c, slot):
+        return dma_in_at(base, c, slot)
 
     def dma_out(c, slot):
         # Chunk windows are 128-aligned over unaligned segments, so the FIRST
@@ -220,21 +282,29 @@ def _bwd_tile(attrs_ref, gattrs_ref,
 
     @pl.when(n_chunks > 0)
     def _():
-        dma_in(0, 0).start()
-        # previous tile's gradients in the shared boundary block
+        # previous tile's gradients in the shared boundary block — issued
+        # here (NOT prefetched by the predecessor) because it must follow the
+        # predecessor's final dma_out drains; its wait sits after chunk 0's
+        # compute, which hides the latency
         pltpu.make_async_copy(gattrs_ref.at[:, pl.ds(base, CHUNK)],
                               gprev, psem).start()
 
     def body(state):
         c, t_mono, prefix = state
-        slot = c % 2
+        slot = (s + c) & 1
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            dma_in(c + 1, (c + 1) % 2).start()
+            dma_in(c + 1, (s + c + 1) & 1).start()
+
+        @pl.when((c + 1 == n_chunks) & issue_next)
+        def _():
+            dma_in_at(nbase, 0, (s + c + 1) & 1).start()
 
         dma_in(c, slot).wait()
         # wait for the gbuf slot's previous write-out before overwriting
+        # (gbuf/dma_out share the carried parity so slot bookkeeping is
+        # uniform; write-outs never cross tiles — fully drained at tile end)
         @pl.when(c >= 2)
         def _():
             dma_out(c - 2, slot).wait()
@@ -308,13 +378,19 @@ def _bwd_tile(attrs_ref, gattrs_ref,
     # WRITTEN. Drain loop: DMA-only zero writes, no attr reads / compute.
     @pl.when(c_end < n_chunks)
     def _():
-        # the prefetched dma_in for chunk c_end is in flight — drain it
-        dma_in(c_end, c_end % 2).wait()
+        # the prefetched dma_in for chunk c_end is in flight — drain it, then
+        # hand the slot to the next tile's first chunk (exposed latency on
+        # this rare path only; normal exits issued it inside the main loop)
+        dma_in(c_end, (s + c_end) & 1).wait()
+
+        @pl.when(issue_next)
+        def _():
+            dma_in_at(nbase, 0, (s + c_end) & 1).start()
 
         def zbody(c, _):
             # c >= c_end >= 1 here (chunk 0 always runs in the main loop, so
             # the boundary-preserve merge never lands in the drain)
-            slot = c % 2
+            slot = (s + c) & 1
             @pl.when(c >= 2)
             def _():
                 dma_out(c - 2, slot).wait()
@@ -324,17 +400,22 @@ def _bwd_tile(attrs_ref, gattrs_ref,
 
         jax.lax.fori_loop(c_end, n_chunks, zbody, 0)
 
+    # empty tile: nothing was prefetched for it — prime its successor now
+    @pl.when((n_chunks == 0) & issue_next)
+    def _():
+        dma_in_at(nbase, 0, s & 1).start()
+
     # drain outstanding gradient writes (also orders them before the next
     # tile in this batch reads its boundary block from gattrs)
     @pl.when(n_chunks >= 2)
     def _():
-        dma_out(n_chunks - 2, (n_chunks - 2) % 2).wait()
+        dma_out(n_chunks - 2, (s + n_chunks - 2) & 1).wait()
 
     @pl.when(n_chunks >= 1)
     def _():
-        dma_out(n_chunks - 1, (n_chunks - 1) % 2).wait()
+        dma_out(n_chunks - 1, (s + n_chunks - 1) & 1).wait()
 
-    return 0
+    return (s + c_end) & 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))

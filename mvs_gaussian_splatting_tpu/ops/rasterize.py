@@ -125,12 +125,16 @@ def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
     depth order (so instance slots index it directly by depth rank), and
     gathers whole rows per instance — a single 64-byte-row gather instead of
     9 scalar gathers (TPU gathers are row-DMA-bound; scalar gathers ran at
-    ~60M elem/s in profiling). The validity gate's where() transpose keeps
-    uninitialized gradient memory in out-of-segment columns from
-    scatter-adding into rank 0; the depth permutation's transpose unsorts
-    the [N, 16] gradient table back to Gaussian order (an N-row scatter).
+    ~60M elem/s in profiling). Binning's [N, 8] rect table rides the same
+    depth-order gather as 8 extra (stop-gradient) columns — row gathers cost
+    ~15 ns/row independent of width, so this deletes a whole [N]-row gather.
+    The validity gate's where() transpose keeps uninitialized gradient
+    memory in out-of-segment columns from scatter-adding into rank 0; the
+    depth permutation's transpose unsorts the [N, 16] gradient table back to
+    Gaussian order (an N-row scatter).
     """
-    from .binning import auto_instance_cap, bin_instances_stream
+    from .binning import (auto_instance_cap, bin_instances_stream,
+                          rect_table)
     from .pallas.stream import ROWS
 
     n = processed.xy.shape[0]
@@ -140,20 +144,28 @@ def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
                                 config.tile_w, config.tile_h,
                                 config.tier_budgets, config.tier_fracs)
     assert cap % 128 == 0, "instance_cap must be CHUNK-aligned"
-    bins = bin_instances_stream(jax.lax.stop_gradient(processed), tiles_x,
-                                tiles_y, config.max_tiles_per_gaussian,
-                                cap, tile_w=config.tile_w,
-                                tile_h=config.tile_h,
-                                tier_budgets=config.tier_budgets,
-                                tier_fracs=config.tier_fracs)
+    sg_processed = jax.lax.stop_gradient(processed)
+    depth_key = jnp.where(sg_processed.mask, sg_processed.depth, jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
     table = jnp.concatenate([
         processed.xy,                                  # 0, 1
         processed.conic,                               # 2, 3, 4
         processed.opacity[:, None],                    # 5
         processed.rgb,                                 # 6, 7, 8
         jnp.zeros((n, ROWS - 9)),
-    ], axis=1)[bins.order]                             # [N, 16] depth-ordered
-    inst = jnp.where(bins.inst_valid[:, None], table[bins.inst_rank], 0.0)
+        rect_table(sg_processed),                      # 16..23 (no grad)
+    ], axis=1)[order]                                  # [N, 24] depth-ordered
+    bins = bin_instances_stream(sg_processed, tiles_x,
+                                tiles_y, config.max_tiles_per_gaussian,
+                                cap, tile_w=config.tile_w,
+                                tile_h=config.tile_h,
+                                tier_budgets=config.tier_budgets,
+                                tier_fracs=config.tier_fracs,
+                                order=order,
+                                rect_ordered=jax.lax.stop_gradient(
+                                    table[:, ROWS:]))
+    inst = jnp.where(bins.inst_valid[:, None],
+                     table[:, :ROWS][bins.inst_rank], 0.0)
     return bins, inst.T                                # [16, CAP + CHUNK]
 
 

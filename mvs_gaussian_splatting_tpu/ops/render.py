@@ -29,6 +29,7 @@ def render(camera: CameraView, image_width: int, image_height: int,
            override_color: Optional[jnp.ndarray] = None,
            ndc_offset: Optional[jnp.ndarray] = None,
            compute_cov3d_python: bool = False,
+           convert_shs_python: bool = False,
            raster_config: RasterConfig = RasterConfig()):
     scales, rotations, opacity = activated(params)
 
@@ -44,6 +45,15 @@ def render(camera: CameraView, image_width: int, image_height: int,
 
     if override_color is not None:
         kwargs["colors_precomp"] = override_color
+    elif convert_shs_python:
+        # Oracle path parity flag (PipelineParams.convert_SHs_python,
+        # gaussian_renderer/__init__.py:74-88): evaluate SH→RGB outside the
+        # rasterizer and feed precomputed colors.
+        from ..utils.sh import sh_to_rgb_clamped
+        dirs = params.xyz - camera.campos
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        rgb, _ = sh_to_rgb_clamped(sh_degree, get_features(params), dirs)
+        kwargs["colors_precomp"] = rgb
     else:
         kwargs["shs"] = get_features(params)
         kwargs["sh_degree"] = sh_degree
@@ -62,4 +72,7 @@ def render(camera: CameraView, image_width: int, image_height: int,
         "final_T": aux["final_T"],
         "overflow_tiles": aux["overflow_tiles"],
         "overflow_capacity": aux["overflow_capacity"],
+        # total tile instances this frame — the live load the static
+        # instance capacity must cover (train loop cap-bucket feedback)
+        "instance_load": aux["tile_counts"].sum(),
     }

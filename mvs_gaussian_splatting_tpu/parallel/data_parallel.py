@@ -34,6 +34,7 @@ class BatchStepMetrics(NamedTuple):
     n_visible: jnp.ndarray
     overflow_tiles: jnp.ndarray
     overflow_capacity: jnp.ndarray
+    instance_load: jnp.ndarray
 
 
 def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
@@ -45,22 +46,27 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
     repl = replicated(mesh)
     shard = batch_sharded(mesh)
 
-    def per_camera(p, alive, ndc_off, cam, gt, bg, width, height, sh_degree):
+    def per_camera(p, alive, ndc_off, cam, gt, bg, width, height, sh_degree,
+                   rc):
         out = render(cam, width, height, p, bg, sh_degree=sh_degree,
-                     alive=alive, ndc_offset=ndc_off, raster_config=raster_cfg)
+                     alive=alive, ndc_offset=ndc_off, raster_config=rc)
         img = out["render"]
         l1 = l1_loss(img, gt)
         loss = ((1.0 - opt_cfg.lambda_dssim) * l1
                 + opt_cfg.lambda_dssim * (1.0 - ssim(img, gt)))
         return loss, (l1, out["radii"], out["visibility_filter"],
-                      out["overflow_tiles"], out["overflow_capacity"])
+                      out["overflow_tiles"], out["overflow_capacity"],
+                      out["instance_load"])
 
     @partial(jax.jit,
-             static_argnames=("width", "height", "sh_degree", "render_n"),
+             static_argnames=("width", "height", "sh_degree", "render_n",
+                              "instance_cap"),
              donate_argnums=(0, 1, 2))
     def step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
              cams, gts, bg, step_i, do_stats, *, width: int, height: int,
-             sh_degree: int, render_n: int = 0):
+             sh_degree: int, render_n: int = 0, instance_cap: int = 0):
+        rc = (raster_cfg._replace(instance_cap=instance_cap)
+              if instance_cap else raster_cfg)
         b = gts.shape[0]
         capacity = params.xyz.shape[0]
         n_render = render_n if render_n else capacity
@@ -74,15 +80,17 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
         def loss_fn(p, ndc_off):
             # static alive-prefix slice (see train.step.train_step docstring)
             ps = jax.tree.map(lambda a: a[:n_render], p)
-            losses, (l1s, radii, vis, ot, oc) = jax.vmap(
+            losses, (l1s, radii, vis, ot, oc, il) = jax.vmap(
                 lambda c, g, nd: per_camera(ps, aux.alive[:n_render], nd, c,
-                                            g, bg, width, height, sh_degree)
+                                            g, bg, width, height, sh_degree,
+                                            rc)
             )(cams, gts, ndc_off)
             return losses.mean(), (l1s.mean(), pad_c(radii),
-                                   pad_c(vis, fill=False), ot.sum(), oc.sum())
+                                   pad_c(vis, fill=False), ot.sum(), oc.sum(),
+                                   il.max())
 
         ndc_zero = jnp.zeros((b, n_render, 2))
-        (loss, (l1, radii, vis, ot, oc)), (g_params, g_ndc) = jax.value_and_grad(
+        (loss, (l1, radii, vis, ot, oc, il)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
         lrs = group_lrs(opt_cfg, step_i, spatial_lr_scale, params)
@@ -105,7 +113,8 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
             lambda a: a, aux)
 
         metrics = BatchStepMetrics(loss=loss, l1=l1, n_visible=vis.any(0).sum(),
-                                   overflow_tiles=ot, overflow_capacity=oc)
+                                   overflow_tiles=ot, overflow_capacity=oc,
+                                   instance_load=il)
         return new_params, new_adam, new_aux, metrics
 
     def place_inputs(params, adam, aux, cams, gts, bg):

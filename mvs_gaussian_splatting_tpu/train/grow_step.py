@@ -35,10 +35,14 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
                    if sphere_dirs is not None else None)
 
     @partial(jax.jit,
-             static_argnames=("width", "height", "sh_degree", "render_n"))
+             static_argnames=("width", "height", "sh_degree", "render_n",
+                              "instance_cap"))
     def step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
              camera, gt, bg, step_i, do_stats, key, *, width: int,
-             height: int, sh_degree: int, render_n: int = 0):
+             height: int, sh_degree: int, render_n: int = 0,
+             instance_cap: int = 0):
+        rc = (raster_cfg._replace(instance_cap=instance_cap)
+              if instance_cap else raster_cfg)
         capacity = params.xyz.shape[0]
         n_render = render_n if render_n else capacity
         grads_stat = densification_grads(aux)
@@ -73,8 +77,8 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
                 rotations=normalize(augd["rotation"]),
                 shs=shs, sh_degree=sh_degree,
                 ndc_offset=ndc_off, mask=augd["alive"],
-                tile_w=raster_cfg.tile_w, tile_h=raster_cfg.tile_h)
-            img, raux = rasterize(processed, width, height, bg, raster_cfg)
+                tile_w=rc.tile_w, tile_h=rc.tile_h)
+            img, raux = rasterize(processed, width, height, bg, rc)
             l1 = l1_loss(img, gt)
             loss = ((1.0 - opt_cfg.lambda_dssim) * l1
                     + opt_cfg.lambda_dssim * (1.0 - ssim(img, gt)))
@@ -110,7 +114,8 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
 
         metrics = StepMetrics(loss=loss, l1=l1, n_visible=visible.sum(),
                               overflow_tiles=raux["overflow_tiles"],
-                              overflow_capacity=raux["overflow_capacity"])
+                              overflow_capacity=raux["overflow_capacity"],
+                              instance_load=raux["tile_counts"].sum())
         return new_params, new_adam, new_aux, metrics
 
     return step

@@ -28,7 +28,7 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .config import (ModelConfig, OptimizationConfig, PipelineConfig,
                      TrainRunConfig, save_cfg_args)
 from .optim import AdamState, adam_init
-from .step import make_eval_render, make_train_step
+from .step import make_eval_metrics, make_eval_render, make_train_step
 
 
 PROFILE_DIR = ""       # set by the CLI --profile_dir flag
@@ -85,7 +85,15 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
     eval_render = make_eval_render(raster_cfg)
+    eval_metrics = make_eval_metrics(raster_cfg)
     render_n = _render_bucket(int(num_alive(aux)), params.xyz.shape[0])
+    # measured-load instance-cap bucket (stream backend only): 0 = the
+    # a-priori auto heuristic; re-bucketed from metrics.instance_load at
+    # every densify round, grown immediately on an overflow signal
+    stream_caps = (raster_cfg.backend == "stream"
+                   or (raster_cfg.backend == "auto"
+                       and jax.default_backend() == "tpu"))
+    inst_cap = 0
 
     batch_step = None
     mesh = None
@@ -190,20 +198,34 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 params, adam, aux, cam.view(), gt, bg_it,
                 jnp.int32(iteration), jnp.asarray(do_stats), sub,
                 width=cam.image.shape[2], height=cam.image.shape[1],
-                sh_degree=active_sh, render_n=render_n)
+                sh_degree=active_sh, render_n=render_n,
+                instance_cap=inst_cap)
         elif batch_step is not None:
             from ..parallel.data_parallel import stack_cameras
             size = cam.image.shape
             cams = [cam]
             tries = 0
             # batch must share one static (H, W); draw same-size cameras
-            while len(cams) < run_cfg.data_parallel and tries < 1000:
+            max_tries = 4 * len(scene.get_train_cameras())
+            while len(cams) < run_cfg.data_parallel and tries < max_tries:
                 if not viewpoint_stack:
                     viewpoint_stack = scene.get_train_cameras().copy()
                 c = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
                 tries += 1
                 if c.image.shape == size:
                     cams.append(c)
+            if len(cams) < run_cfg.data_parallel:
+                # mixed-resolution scene with too few same-size cameras:
+                # pad the batch by cycling the drawn ones — a short batch
+                # would break the static batch shape (shard mismatch) or
+                # silently lose throughput. Duplicated cameras only reweight
+                # this step's gradient average; statistically harmless.
+                if iteration == first_iter + 1:
+                    log_fn(f"data-parallel: only {len(cams)} cameras at "
+                           f"{size[2]}x{size[1]} — padding batch with "
+                           "repeats")
+                k = len(cams)
+                cams = [cams[i % k] for i in range(run_cfg.data_parallel)]
             gts = jnp.stack([c.device_image() for c in cams])
             with mesh:
                 b_params, b_adam, b_aux, b_cams, b_gts, b_bg = place_inputs(
@@ -213,13 +235,14 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     b_params, b_adam, b_aux, b_cams, b_gts, b_bg,
                     jnp.int32(iteration), jnp.asarray(do_stats),
                     width=size[2], height=size[1], sh_degree=active_sh,
-                    render_n=render_n)
+                    render_n=render_n, instance_cap=inst_cap)
         else:
             params, adam, aux, metrics = train_step(
                 params, adam, aux, cam.view(), gt, bg_it,
                 jnp.int32(iteration), jnp.asarray(do_stats),
                 width=cam.image.shape[2], height=cam.image.shape[1],
-                sh_degree=active_sh, render_n=render_n)
+                sh_degree=active_sh, render_n=render_n,
+                instance_cap=inst_cap)
 
         # ---- densification schedule (train.py:126-137) -------------------
         if iteration < opt_cfg.densify_until_iter:
@@ -256,6 +279,14 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     log_fn(f"[ITER {iteration}] render slice "
                            f"{render_n} → {new_rn}")
                     render_n = new_rn
+                if stream_caps:
+                    new_ic = _instance_bucket(
+                        int(metrics.instance_load),
+                        render_n or params.xyz.shape[0], raster_cfg)
+                    if new_ic != inst_cap:
+                        log_fn(f"[ITER {iteration}] instance cap "
+                               f"{inst_cap or 'auto'} → {new_ic or 'auto'}")
+                        inst_cap = new_ic
             if (iteration % opt_cfg.opacity_reset_interval == 0
                     or (model_cfg.white_background
                         and iteration == opt_cfg.densify_from_iter)):
@@ -269,8 +300,20 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         # therefore blends SAMPLED losses (every 10th) — display-only
         # smoothing, slightly noisier than the reference's per-iteration EMA.
         if iteration % 10 == 0 or iteration % run_cfg.log_every == 0:
-            loss = float(metrics.loss)
+            loss, oc_now, il_now = (float(v) for v in jax.device_get(
+                (metrics.loss, metrics.overflow_capacity,
+                 metrics.instance_load)))
             ema_loss = 0.4 * loss + 0.6 * ema_loss
+            if inst_cap and oc_now > 0:
+                # measured-load cap too tight (load spike between densify
+                # rounds, e.g. right after an opacity reset) — grow to the
+                # bucket covering the spilled load, or fall back to auto
+                inst_cap = _instance_bucket(int(il_now + oc_now),
+                                            render_n or params.xyz.shape[0],
+                                            raster_cfg)
+                log_fn(f"[ITER {iteration}] instance cap overflow "
+                       f"({int(oc_now)} entries) → "
+                       f"{inst_cap or 'auto'}")
         if progress is not None and iteration % 10 == 0:
             progress.set_postfix({"Loss": f"{ema_loss:.7f}",
                                   "pts": int(num_alive(aux))})
@@ -298,24 +341,42 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
         eval_now = (iteration in run_cfg.test_iterations
                     or (run_cfg.eval_every and iteration % run_cfg.eval_every == 0))
-        if eval_now and scene.get_test_cameras():
-            ps = evaluate_psnr(eval_render, params, aux, scene.get_test_cameras(),
-                               bg, active_sh, render_n=render_n)
-            history["psnr_test"][iteration] = ps
-            history["n_alive"][iteration] = int(num_alive(aux))
-            log_fn(f"[ITER {iteration}] Evaluating test: PSNR {ps:.2f}")
-            if tb_writer is not None:
-                tb_writer.add_scalar("test/loss_viewpoint - psnr", ps, iteration)
-                tb_writer.add_scalar("total_points", int(num_alive(aux)),
-                                     iteration)
-                tb_writer.add_histogram(
-                    "scene/opacity_histogram",
-                    np.asarray(jax.nn.sigmoid(
-                        params.opacity[np.asarray(aux.alive), 0])), iteration)
-            if model_cfg.model_path:
-                _dump_val_image(model_cfg.model_path, iteration, eval_render,
-                                params, aux, scene, bg, active_sh,
-                                render_n=render_n)
+        if eval_now:
+            # training-report parity (train.py:210-236): full test set AND
+            # 5 fixed train views, L1 + PSNR for both
+            train_all = scene.get_train_cameras()
+            configs = [("test", scene.get_test_cameras()),
+                       ("train", [train_all[idx % len(train_all)]
+                                  for idx in range(5, 30, 5)]
+                        if train_all else [])]
+            for split, cams in configs:
+                if not cams:
+                    continue
+                l1v, ps = evaluate_split(eval_metrics, params, aux, cams,
+                                         bg, active_sh, render_n=render_n)
+                log_fn(f"[ITER {iteration}] Evaluating {split}: "
+                       f"L1 {l1v:.6f} PSNR {ps:.2f}")
+                if tb_writer is not None:
+                    tb_writer.add_scalar(
+                        f"{split}/loss_viewpoint - l1_loss", l1v, iteration)
+                    tb_writer.add_scalar(
+                        f"{split}/loss_viewpoint - psnr", ps, iteration)
+                if split == "test":
+                    history["psnr_test"][iteration] = ps
+                    history["n_alive"][iteration] = int(num_alive(aux))
+            if scene.get_test_cameras():
+                if tb_writer is not None:
+                    tb_writer.add_scalar("total_points", int(num_alive(aux)),
+                                         iteration)
+                    tb_writer.add_histogram(
+                        "scene/opacity_histogram",
+                        np.asarray(jax.nn.sigmoid(
+                            params.opacity[np.asarray(aux.alive), 0])),
+                        iteration)
+                if model_cfg.model_path:
+                    _dump_val_image(model_cfg.model_path, iteration,
+                                    eval_render, params, aux, scene, bg,
+                                    active_sh, render_n=render_n)
 
         if iteration in run_cfg.save_iterations and model_cfg.model_path:
             log_fn(f"[ITER {iteration}] Saving Gaussians")
@@ -326,6 +387,27 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                             params, adam, aux, iteration, active_sh)
 
     return params, aux, scene, history
+
+
+def _instance_bucket(load: int, n_render: int, raster_cfg: RasterConfig,
+                     margin: float = 1.35) -> int:
+    """Static stream instance capacity from the measured tile load.
+
+    Half-power-of-two buckets of margin·load (see ``_render_bucket`` for the
+    bucket rationale), CHUNK-aligned by construction (≥ 1024). Returns 0
+    (= the a-priori auto heuristic) when the bucket wouldn't be smaller —
+    the auto cap is also the upper bound: binning counts any shortfall in
+    overflow_capacity, which the loop answers by re-bucketing."""
+    from ..ops.binning import auto_instance_cap
+    auto = auto_instance_cap(n_render, raster_cfg.max_tiles_per_gaussian,
+                             raster_cfg.tile_w, raster_cfg.tile_h,
+                             raster_cfg.tier_budgets, raster_cfg.tier_fracs)
+    target = max(1024, int(load * margin))
+    k = max(10, int(math.floor(math.log2(target))))
+    for b in (1 << k, (3 << k) >> 1, 1 << (k + 1)):
+        if b >= target:
+            break
+    return 0 if b >= auto else b
 
 
 def _render_bucket(n_alive: int, capacity: int, margin: float = 1.2) -> int:
@@ -354,16 +436,35 @@ def _pad_tree(tree, new_capacity: int):
     return jax.tree.map(f, tree)
 
 
+def evaluate_split(eval_metrics, params, aux, cameras, bg, sh_degree,
+                   render_n: int = 0):
+    """(mean L1, mean PSNR) over a camera list with ONE host transfer.
+
+    Each view's render+metrics dispatches asynchronously to device scalars;
+    the single jax.device_get at the end fetches the whole stack — on a
+    tunneled device this replaces dozens of per-image round trips."""
+    vals = [eval_metrics(params, aux.alive, cam.view(), cam.device_image(),
+                         bg, width=cam.image.shape[2],
+                         height=cam.image.shape[1],
+                         sh_degree=sh_degree, render_n=render_n)
+            for cam in cameras]
+    host = jax.device_get(vals)
+    return (float(np.mean([v[0] for v in host])),
+            float(np.mean([v[1] for v in host])))
+
+
 def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree,
                   render_n: int = 0) -> float:
+    """Image-space PSNR sweep (kept for callers that need rendered frames;
+    the train loop uses :func:`evaluate_split`)."""
     vals = []
     for cam in cameras:
         img = eval_render(params, aux.alive, cam.view(), bg,
                           width=cam.image.shape[2], height=cam.image.shape[1],
                           sh_degree=sh_degree, render_n=render_n)
         gt = jnp.clip(cam.device_image(), 0.0, 1.0)
-        vals.append(float(psnr(img, gt)[0]))
-    return float(np.mean(vals))
+        vals.append(psnr(img, gt)[0])
+    return float(np.mean(jax.device_get(vals)))
 
 
 def _make_tb_writer(model_path: str):
@@ -395,15 +496,20 @@ def _gui_pump(model_cfg, params, aux, raster_cfg, sh_degree, iteration,
     while network_gui.conn is not None:
         try:
             net_image_bytes = None
-            (custom_cam, do_training, _shs_py, _cov_py, keep_alive,
+            (custom_cam, do_training, shs_py, cov_py, keep_alive,
              scaling_modifier) = network_gui.receive()
             if custom_cam is not None:
                 from ..ops.render import render as render_fn
                 bg = (jnp.ones(3) if model_cfg.white_background else jnp.zeros(3))
+                # viewer toggles plumb into the render exactly like the
+                # reference (train.py:60 overwrites pipe.convert_SHs_python /
+                # pipe.compute_cov3D_python per request)
                 out = render_fn(custom_cam.view(), custom_cam.image_width,
                                 custom_cam.image_height, params, bg,
                                 sh_degree=sh_degree, alive=aux.alive,
                                 scale_modifier=scaling_modifier,
+                                convert_shs_python=bool(shs_py),
+                                compute_cov3d_python=bool(cov_py),
                                 raster_config=raster_cfg)
                 net_image_bytes = network_gui.render_to_bytes(out["render"])
             network_gui.send(net_image_bytes, model_cfg.source_path)

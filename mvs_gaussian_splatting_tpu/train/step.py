@@ -31,6 +31,7 @@ class StepMetrics(NamedTuple):
     n_visible: jnp.ndarray
     overflow_tiles: jnp.ndarray
     overflow_capacity: jnp.ndarray
+    instance_load: jnp.ndarray
 
 
 def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
@@ -38,17 +39,26 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
     jitted with static (width, height, sh_degree)."""
 
     @partial(jax.jit,
-             static_argnames=("width", "height", "sh_degree", "render_n"))
+             static_argnames=("width", "height", "sh_degree", "render_n",
+                              "instance_cap"))
     def train_step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
                    camera, gt, bg, step, do_stats, *, width: int, height: int,
-                   sh_degree: int, render_n: int = 0):
+                   sh_degree: int, render_n: int = 0, instance_cap: int = 0):
         """``render_n`` (static): 0 = render the full capacity; otherwise the
         loop guarantees (via models.gaussians.compact_state after every
         densify round) that all alive slots sit in [:render_n], and only that
         prefix enters the renderer — the instance sort/pack/scatter stages
         scale with the rendered length, not the padded capacity. Gradients
         for the sliced tail are exactly zero (slice transpose), and Adam
-        still updates the full arrays (alive-masked, elementwise-cheap)."""
+        still updates the full arrays (alive-masked, elementwise-cheap).
+
+        ``instance_cap`` (static): 0 = the raster config's cap (usually the
+        a-priori auto heuristic); otherwise a measured-load bucket chosen by
+        the loop (see loop._instance_bucket) — the stream sort/pack/scatter
+        stages scale with this STATIC value, and overflow (counted in
+        metrics) triggers a bucket grow."""
+        rc = (raster_cfg._replace(instance_cap=instance_cap)
+              if instance_cap else raster_cfg)
         capacity = params.xyz.shape[0]
         n_render = render_n if render_n else capacity
 
@@ -63,7 +73,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
             ps = jax.tree.map(lambda a: a[:n_render], p)
             out = render(camera, width, height, ps, bg, sh_degree=sh_degree,
                          alive=aux.alive[:n_render], ndc_offset=ndc_off,
-                         raster_config=raster_cfg)
+                         raster_config=rc)
             img = out["render"]
             l1 = l1_loss(img, gt)
             loss = ((1.0 - opt_cfg.lambda_dssim) * l1
@@ -98,7 +108,8 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
         metrics = StepMetrics(loss=loss, l1=l1,
                               n_visible=visible.sum(),
                               overflow_tiles=out["overflow_tiles"],
-                              overflow_capacity=out["overflow_capacity"])
+                              overflow_capacity=out["overflow_capacity"],
+                              instance_load=out["instance_load"])
         return new_params, new_adam, new_aux, metrics
 
     return train_step
@@ -115,3 +126,24 @@ def make_eval_render(raster_cfg: RasterConfig):
                      alive=alive[:m], raster_config=raster_cfg)
         return jnp.clip(out["render"], 0.0, 1.0)
     return eval_render
+
+
+def make_eval_metrics(raster_cfg: RasterConfig):
+    """Jitted per-view eval returning (L1, PSNR) device scalars — the
+    training-report sweep (train.py:210-236) uses this instead of fetching
+    whole images: the loop dispatches every view asynchronously and does ONE
+    host transfer of the stacked scalars at the end."""
+    from ..utils.losses import psnr as psnr_fn
+
+    @partial(jax.jit,
+             static_argnames=("width", "height", "sh_degree", "render_n"))
+    def eval_metrics(params, alive, camera, gt, bg, *, width: int,
+                     height: int, sh_degree: int, render_n: int = 0):
+        m = render_n if render_n else params.xyz.shape[0]
+        ps = jax.tree.map(lambda a: a[:m], params)
+        out = render(camera, width, height, ps, bg, sh_degree=sh_degree,
+                     alive=alive[:m], raster_config=raster_cfg)
+        img = jnp.clip(out["render"], 0.0, 1.0)
+        gtc = jnp.clip(gt, 0.0, 1.0)
+        return l1_loss(img, gtc), psnr_fn(img, gtc)[0]
+    return eval_metrics

@@ -73,11 +73,19 @@ class ViewerClient:
                 ) -> Tuple[np.ndarray, str]:
         """Render the live model from (R, T). Returns (rgb [H,W,3] u8, path).
 
-        Matrices go over the wire transposed (torch row-vector convention),
-        matching what network_gui.MiniCam undoes on the server side.
+        Matrices go over the wire transposed (torch row-vector convention)
+        AND in the SIBR viewer's flipped-handedness convention — columns
+        1, 2 of the transposed view matrix and column 1 of the transposed
+        view-projection negated — because the server undoes exactly those
+        negations on receipt (gaussian_renderer/network_gui.py:76-79).
         """
         w2v = graphics.world_to_view(R, T)
         proj = graphics.projection_matrix(znear, zfar, fovx, fovy)
+        view_t = w2v.T.copy()
+        view_t[:, 1] = -view_t[:, 1]
+        view_t[:, 2] = -view_t[:, 2]
+        full_t = (proj @ w2v).T.copy()
+        full_t[:, 1] = -full_t[:, 1]
         msg = {
             "resolution_x": int(width),
             "resolution_y": int(height),
@@ -90,9 +98,8 @@ class ViewerClient:
             "rot_scale_python": bool(rot_scale_python),
             "keep_alive": bool(keep_alive),
             "scaling_modifier": float(scaling_modifier),
-            "view_matrix": [float(v) for v in w2v.T.reshape(-1)],
-            "view_projection_matrix": [float(v)
-                                       for v in (proj @ w2v).T.reshape(-1)],
+            "view_matrix": [float(v) for v in view_t.reshape(-1)],
+            "view_projection_matrix": [float(v) for v in full_t.reshape(-1)],
         }
         payload = json.dumps(msg).encode("utf-8")
         self.sock.sendall(len(payload).to_bytes(4, "little"))

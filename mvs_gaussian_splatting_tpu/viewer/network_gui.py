@@ -129,6 +129,13 @@ def receive():
             world_view = np.reshape(np.array(message["view_matrix"]), (4, 4))
             full_proj = np.reshape(np.array(message["view_projection_matrix"]),
                                    (4, 4))
+            # The SIBR viewer sends a flipped-handedness convention: negate
+            # columns 1, 2 of the (transposed) view matrix and column 1 of
+            # the full-projection matrix on receipt, exactly as the
+            # reference does (gaussian_renderer/network_gui.py:76-79).
+            world_view[:, 1] = -world_view[:, 1]
+            world_view[:, 2] = -world_view[:, 2]
+            full_proj[:, 1] = -full_proj[:, 1]
             custom_cam = MiniCam(width, height, fovy, fovx, znear, zfar,
                                  world_view, full_proj)
         except Exception:

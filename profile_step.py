@@ -24,6 +24,9 @@ cfg = RasterConfig(tile_w=32, tile_h=16, tile_capacity=1024,
 from mvs_gaussian_splatting_tpu.ops.binning import auto_instance_cap
 CAP = auto_instance_cap(N, cfg.max_tiles_per_gaussian, cfg.tile_w,
                         cfg.tile_h, cfg.tier_budgets, cfg.tier_fracs)
+if len(sys.argv) > 1 and sys.argv[1] != "auto":
+    CAP = int(sys.argv[1])
+    cfg = cfg._replace(instance_cap=CAP)
 cam, (means, log_scales, quats, opac_logit, shs) = build_scene(N, W, H)
 bg = jnp.zeros(3)
 tiles_x, tiles_y = -(-W // cfg.tile_w), -(-H // cfg.tile_h)

@@ -79,6 +79,98 @@ def test_client_receives_frame_and_verify_string(server_port):
     assert rgb.min() == 0  # background
 
 
+def test_sibr_convention_matches_direct_render(server_port):
+    """A request carrying SIBR-convention (handedness-flipped) matrices —
+    what the real C++ SIBR_remoteGaussian client sends, and what
+    ViewerClient.request now emits — must render the same frame as calling
+    the render path directly with the unflipped camera. Guards the column
+    negations of gaussian_renderer/network_gui.py:76-79."""
+    from mvs_gaussian_splatting_tpu.ops.preprocess import CameraView
+    from mvs_gaussian_splatting_tpu.ops.render import render as render_fn
+    from mvs_gaussian_splatting_tpu.utils import graphics
+
+    params, aux = _tiny_model()
+    model_cfg = ModelConfig(source_path="p")
+    raster_cfg = RasterConfig(tile_capacity=64, max_tiles_per_gaussian=16,
+                              tile_batch=8, backend="jnp")
+    fovx = math.radians(60.0)
+    R, T = orbit_camera(0.7)
+
+    # direct render with the unflipped camera (no viewer wire)
+    w2v = graphics.world_to_view(R, T)
+    proj = graphics.projection_matrix(0.01, 100.0, fovx, fovx)
+    view = CameraView(jnp.asarray(w2v.astype(np.float32)),
+                      jnp.asarray((proj @ w2v).astype(np.float32)),
+                      jnp.asarray(np.linalg.inv(w2v)[:3, 3].astype(np.float32)),
+                      jnp.float32(math.tan(fovx / 2)),
+                      jnp.float32(math.tan(fovx / 2)))
+    direct = render_fn(view, W, H, params, jnp.zeros(3), sh_degree=0,
+                       alive=aux.alive, raster_config=raster_cfg)["render"]
+    direct_u8 = (np.clip(np.asarray(direct), 0, 1) * 255).astype(np.uint8)
+    direct_u8 = direct_u8.transpose(1, 2, 0)
+
+    result = {}
+
+    def client_thread():
+        with ViewerClient("127.0.0.1", server_port, timeout=900.0) as c:
+            rgb, _ = c.request(W, H, R, T, fovx, fovx, train=True,
+                               keep_alive=False)
+            result["rgb"] = rgb
+
+    t = threading.Thread(target=client_thread)
+    t.start()
+    for it in range(200):
+        _gui_pump(model_cfg, params, aux, raster_cfg, sh_degree=0,
+                  iteration=it, max_iterations=100)
+        if not t.is_alive():
+            break
+    t.join(timeout=900)
+    assert not t.is_alive()
+
+    assert result["rgb"].max() > 10          # non-trivial frame
+    # u8 quantization is the only tolerance; a flipped render would differ
+    # almost everywhere
+    diff = np.abs(result["rgb"].astype(int) - direct_u8.astype(int))
+    assert diff.max() <= 1
+
+
+def test_viewer_pipeline_toggles_plumb_into_render(server_port):
+    """shs_python / rot_scale_python from the wire reach the render call
+    (train.py:60): with both toggles on, the frame must match the default
+    path (the python SH and cov paths are exact oracles)."""
+    params, aux = _tiny_model()
+    model_cfg = ModelConfig(source_path="p")
+    raster_cfg = RasterConfig(tile_capacity=64, max_tiles_per_gaussian=16,
+                              tile_batch=8, backend="jnp")
+    fovx = math.radians(60.0)
+    R, T = orbit_camera(0.7)
+
+    result = {}
+
+    def client_thread():
+        with ViewerClient("127.0.0.1", server_port, timeout=900.0) as c:
+            base, _ = c.request(W, H, R, T, fovx, fovx, train=False,
+                                keep_alive=True)
+            toggled, _ = c.request(W, H, R, T, fovx, fovx, train=True,
+                                   keep_alive=False, shs_python=True,
+                                   rot_scale_python=True)
+            result["base"] = base
+            result["toggled"] = toggled
+
+    t = threading.Thread(target=client_thread)
+    t.start()
+    for it in range(400):
+        _gui_pump(model_cfg, params, aux, raster_cfg, sh_degree=0,
+                  iteration=it, max_iterations=100)
+        if not t.is_alive():
+            break
+    t.join(timeout=900)
+    assert not t.is_alive()
+    assert result["base"].max() > 10
+    diff = np.abs(result["base"].astype(int) - result["toggled"].astype(int))
+    assert diff.max() <= 1
+
+
 def test_zero_resolution_is_noop_and_connection_survives(server_port):
     params, aux = _tiny_model()
     model_cfg = ModelConfig(source_path="p")

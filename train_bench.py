@@ -95,11 +95,28 @@ def main():
     # time at this workload after the separable-SSIM fix).
     salt = (time.time_ns() % 997) * 1e-9
     params = params._replace(xyz=means + salt)
-    for _ in range(3):  # compile + warm
+    params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
+                                   jnp.int32(20_000), jnp.bool_(True),
+                                   width=width, height=height, sh_degree=3)
+    # calibrate the static instance cap to the measured load (the train
+    # loop's _instance_bucket feedback, one-shot here); overflow ⇒ auto
+    inst_cap = 0
+    if backend == "stream":
+        load = int(m.instance_load)
+        inst_cap = load + int(0.12 * load)
+        inst_cap += (-inst_cap) % 128
+    for _ in range(2):  # compile + warm the calibrated program
         params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
                                        jnp.int32(20_000), jnp.bool_(True),
                                        width=width, height=height,
-                                       sh_degree=3)
+                                       sh_degree=3, instance_cap=inst_cap)
+    if inst_cap and int(m.overflow_capacity) > 0:
+        inst_cap = 0
+        for _ in range(2):
+            params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
+                                           jnp.int32(20_000), jnp.bool_(True),
+                                           width=width, height=height,
+                                           sh_degree=3, instance_cap=inst_cap)
     float(m.loss)
 
     iters = 20
@@ -108,7 +125,7 @@ def main():
         params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
                                        jnp.int32(20_000), jnp.bool_(True),
                                        width=width, height=height,
-                                       sh_degree=3)
+                                       sh_degree=3, instance_cap=inst_cap)
     float(m.loss)           # terminal value fetch anchors the whole chain
     dt = (time.perf_counter() - t0) / iters
 
