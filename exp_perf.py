@@ -102,7 +102,7 @@ if "batch" in sections or "kernels" in sections:
 
 if "batch" in sections:
     import mvs_gaussian_splatting_tpu.ops.pallas.stream as st
-    for tb in (8, 16, 32):
+    for tb in (8, 16):
         st.TILE_BATCH = tb
         fwdk = jax.jit(lambda eps: st.composite_stream(
             attrs + eps, bins.seg_start, bins.counts, bg, tile_ids, tiles_x,

@@ -10,6 +10,7 @@ have millions of track entries.
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Dict, NamedTuple
 
@@ -49,6 +50,31 @@ def qvec2rotmat(q: np.ndarray) -> np.ndarray:
         [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
     ])
+
+
+def rotmat2qvec(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → (w, x, y, z) quaternion (for dataset writers)."""
+    t = np.trace(R)
+    m = np.array([1 + t,
+                  1 + R[0, 0] - R[1, 1] - R[2, 2],
+                  1 - R[0, 0] + R[1, 1] - R[2, 2],
+                  1 - R[0, 0] - R[1, 1] + R[2, 2]])
+    i = int(np.argmax(m))
+    s = 2.0 * math.sqrt(max(m[i], 1e-12))
+    if i == 0:
+        q = [m[0] * 2 / s / 2, (R[2, 1] - R[1, 2]) / s,
+             (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s]
+    elif i == 1:
+        q = [(R[2, 1] - R[1, 2]) / s, m[1] * 2 / s / 2,
+             (R[0, 1] + R[1, 0]) / s, (R[2, 0] + R[0, 2]) / s]
+    elif i == 2:
+        q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+             m[2] * 2 / s / 2, (R[1, 2] + R[2, 1]) / s]
+    else:
+        q = [(R[1, 0] - R[0, 1]) / s, (R[2, 0] + R[0, 2]) / s,
+             (R[1, 2] + R[2, 1]) / s, m[3] * 2 / s / 2]
+    q = np.asarray(q, np.float64)
+    return q / np.linalg.norm(q)
 
 
 def read_cameras_binary(path: str) -> Dict[int, CameraIntrinsics]:

@@ -59,15 +59,21 @@ class CostRegNet(nn.Module):
 
 
 class GaussianHead(nn.Module):
-    """Per-pixel Gaussian attributes from aggregated volume features."""
+    """Per-pixel Gaussian attributes from aggregated volume features.
+
+    12 channels: depth offset (1), rotation (4), log-scale (3), opacity
+    logit (1), RGB logits (3) — a real per-Gaussian color head (the round-1
+    2-channel chroma modulation could not represent view-consistent scene
+    color and blocked DTU-style training)."""
 
     @nn.compact
     def __call__(self, feat):
         # feat [F, H, W] → [H, W, F]
         h = feat.transpose(1, 2, 0)
-        h = nn.relu(nn.Dense(32)(h))
-        out = nn.Dense(11)(h)                          # per-pixel attributes
-        return out                                     # [H, W, 11]
+        h = nn.relu(nn.Dense(64)(h))
+        h = nn.relu(nn.Dense(64)(h))
+        out = nn.Dense(12)(h)                          # per-pixel attributes
+        return out                                     # [H, W, 12]
 
 
 class MVSGaussianModel(nn.Module):
@@ -98,10 +104,13 @@ class MVSGaussianModel(nn.Module):
         prob = jax.nn.softmax(logits, axis=0)
         depth = (prob * depths[:, None, None]).sum(0)  # [h, w]
 
-        # aggregate features at the expected depth + reference features
+        # aggregate features at the expected depth + reference features +
+        # the (downsampled) reference colors so the head can anchor its RGB
+        # prediction on the observed image
+        ref_small = jax.image.resize(ref_image, (3, h, w), "bilinear")
         agg = (prob[:, None] * reg).sum(0)             # [G, h, w]
-        head_in = jnp.concatenate([agg, ref_feat], axis=0)
-        attrs = GaussianHead()(head_in)                # [h, w, 11]
+        head_in = jnp.concatenate([agg, ref_feat, ref_small], axis=0)
+        attrs = GaussianHead()(head_in)                # [h, w, 12]
 
         # pixel-aligned Gaussians: position = ray · (depth + learned offset)
         us = jnp.arange(w, dtype=jnp.float32) + 0.5
@@ -120,13 +129,13 @@ class MVSGaussianModel(nn.Module):
         log_scale = (attrs[..., 5:8].reshape(n, 3)
                      + jnp.log(base_scale))
         opacity = attrs[..., 8:9].reshape(n, 1)
-        rgb = jax.nn.sigmoid(attrs[..., 9:].reshape(n, 2))
-        # colors: sample the reference image at pixel centers (coarse) and
-        # modulate by two predicted chroma factors — cheap view-consistent color
-        ref_small = jax.image.resize(ref_image, (3, h, w), "bilinear")
+        # direct per-Gaussian RGB, biased toward the observed reference
+        # color: logits init near 0 ⇒ color starts at the reference pixel
+        # (logit-space residual), then trains freely per Gaussian
         base_rgb = ref_small.reshape(3, n).T
-        colors = jnp.clip(base_rgb * (0.5 + rgb[:, :1]) + 0.5 * (rgb[:, 1:] - 0.5),
-                          0.0, 1.0)
+        base_logit = jnp.log(jnp.clip(base_rgb, 1e-3, 1 - 1e-3)
+                             / (1 - jnp.clip(base_rgb, 1e-3, 1 - 1e-3)))
+        colors = jax.nn.sigmoid(attrs[..., 9:12].reshape(n, 3) + base_logit)
 
         return {"xyz_cam": xyz, "rotation": rot, "log_scaling": log_scale,
                 "opacity_logit": opacity, "colors": colors, "depth": depth}

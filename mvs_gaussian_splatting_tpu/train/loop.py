@@ -110,9 +110,10 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     grow_cfg = None
     sphere_dirs = None
     spec_step = None
+    spec_batch_step = None
     if use_extras:
         from ..utils.sphere import sphere_points
-        from .grow_step import make_spec_train_step
+        from .grow_step import make_spec_batch_train_step, make_spec_train_step
         grow_cfg = GrowConfig(
             grow_dir=model_cfg.grow_dir, continous_dir=model_cfg.continous_dir,
             grow_distance=model_cfg.grow_distance,
@@ -128,6 +129,13 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         spec_step = make_spec_train_step(opt_cfg, raster_cfg, spatial_lr_scale,
                                          grow_cfg, sphere_dirs, spec_size,
                                          float(scene.cameras_extent))
+        if mesh is not None:
+            # grow-mode composes with data parallelism (VERDICT #5): the
+            # speculation block is camera-independent, so the batched step
+            # renders it against every camera of the batch
+            spec_batch_step, spec_place = make_spec_batch_train_step(
+                opt_cfg, raster_cfg, spatial_lr_scale, grow_cfg, sphere_dirs,
+                spec_size, float(scene.cameras_extent), mesh)
     densify_cfg = DensifyConfig(
         grad_threshold=opt_cfg.densify_grad_threshold,
         min_opacity=opt_cfg.min_opacity,
@@ -192,25 +200,19 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                           and (model_cfg.learn_split_distance
                                or model_cfg.learn_split_scale))
             spec_now = grow_window or split_only
-        if spec_now:
-            key, sub = jax.random.split(key)
-            params, adam, aux, metrics = spec_step(
-                params, adam, aux, cam.view(), gt, bg_it,
-                jnp.int32(iteration), jnp.asarray(do_stats), sub,
-                width=cam.image.shape[2], height=cam.image.shape[1],
-                sh_degree=active_sh, render_n=render_n,
-                instance_cap=inst_cap)
-        elif batch_step is not None:
-            from ..parallel.data_parallel import stack_cameras
-            size = cam.image.shape
-            cams = [cam]
+        def draw_camera_batch(first_cam):
+            """Fill the DP batch with same-size cameras (pad-or-repeat)."""
+            nonlocal viewpoint_stack
+            size = first_cam.image.shape
+            cams = [first_cam]
             tries = 0
             # batch must share one static (H, W); draw same-size cameras
             max_tries = 4 * len(scene.get_train_cameras())
             while len(cams) < run_cfg.data_parallel and tries < max_tries:
                 if not viewpoint_stack:
                     viewpoint_stack = scene.get_train_cameras().copy()
-                c = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+                c = viewpoint_stack.pop(
+                    random.randint(0, len(viewpoint_stack) - 1))
                 tries += 1
                 if c.image.shape == size:
                     cams.append(c)
@@ -226,6 +228,33 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                            "repeats")
                 k = len(cams)
                 cams = [cams[i % k] for i in range(run_cfg.data_parallel)]
+            return cams, size
+
+        if spec_now and spec_batch_step is not None:
+            from ..parallel.data_parallel import stack_cameras
+            cams, size = draw_camera_batch(cam)
+            gts = jnp.stack([c.device_image() for c in cams])
+            key, sub = jax.random.split(key)
+            with mesh:
+                b_params, b_adam, b_aux, b_cams, b_gts, b_bg = spec_place(
+                    params, adam, aux, stack_cameras([c.view() for c in cams]),
+                    gts, bg_it)
+                params, adam, aux, metrics = spec_batch_step(
+                    b_params, b_adam, b_aux, b_cams, b_gts, b_bg,
+                    jnp.int32(iteration), jnp.asarray(do_stats), sub,
+                    width=size[2], height=size[1], sh_degree=active_sh,
+                    render_n=render_n, instance_cap=inst_cap)
+        elif spec_now:
+            key, sub = jax.random.split(key)
+            params, adam, aux, metrics = spec_step(
+                params, adam, aux, cam.view(), gt, bg_it,
+                jnp.int32(iteration), jnp.asarray(do_stats), sub,
+                width=cam.image.shape[2], height=cam.image.shape[1],
+                sh_degree=active_sh, render_n=render_n,
+                instance_cap=inst_cap)
+        elif batch_step is not None:
+            from ..parallel.data_parallel import stack_cameras
+            cams, size = draw_camera_batch(cam)
             gts = jnp.stack([c.device_image() for c in cams])
             with mesh:
                 b_params, b_adam, b_aux, b_cams, b_gts, b_bg = place_inputs(
@@ -304,16 +333,18 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 (metrics.loss, metrics.overflow_capacity,
                  metrics.instance_load)))
             ema_loss = 0.4 * loss + 0.6 * ema_loss
-            if inst_cap and oc_now > 0:
-                # measured-load cap too tight (load spike between densify
-                # rounds, e.g. right after an opacity reset) — grow to the
-                # bucket covering the spilled load, or fall back to auto
-                inst_cap = _instance_bucket(int(il_now + oc_now),
-                                            render_n or params.xyz.shape[0],
-                                            raster_cfg)
-                log_fn(f"[ITER {iteration}] instance cap overflow "
-                       f"({int(oc_now)} entries) → "
-                       f"{inst_cap or 'auto'}")
+            if stream_caps and oc_now > 0:
+                # cap too tight — either the measured-load bucket after a
+                # load spike (e.g. right after an opacity reset) or the
+                # a-priori auto heuristic under early-training large splats.
+                # Grow to the bucket covering the spilled load.
+                grown = _instance_bucket(int(il_now + oc_now),
+                                         render_n or params.xyz.shape[0],
+                                         raster_cfg)
+                if grown != inst_cap:
+                    inst_cap = grown
+                    log_fn(f"[ITER {iteration}] instance cap overflow "
+                           f"({int(oc_now)} entries) → {inst_cap}")
         if progress is not None and iteration % 10 == 0:
             progress.set_postfix({"Loss": f"{ema_loss:.7f}",
                                   "pts": int(num_alive(aux))})
@@ -394,20 +425,24 @@ def _instance_bucket(load: int, n_render: int, raster_cfg: RasterConfig,
     """Static stream instance capacity from the measured tile load.
 
     Half-power-of-two buckets of margin·load (see ``_render_bucket`` for the
-    bucket rationale), CHUNK-aligned by construction (≥ 1024). Returns 0
-    (= the a-priori auto heuristic) when the bucket wouldn't be smaller —
-    the auto cap is also the upper bound: binning counts any shortfall in
-    overflow_capacity, which the loop answers by re-bucketing."""
-    from ..ops.binning import auto_instance_cap
-    auto = auto_instance_cap(n_render, raster_cfg.max_tiles_per_gaussian,
-                             raster_cfg.tile_w, raster_cfg.tile_h,
-                             raster_cfg.tier_budgets, raster_cfg.tier_fracs)
+    bucket rationale), CHUNK-aligned by construction (≥ 1024), clipped to
+    the exact tier-enumeration bound. Unlike the a-priori auto heuristic
+    (≈5.7·N), the bucket follows the MEASURED load in both directions —
+    early training with large KNN-initialized splats can exceed the
+    heuristic (seen as overflow_capacity > 0, answered by re-bucketing
+    upward), while dense late-training scenes sit well under it."""
+    from ..ops.binning import stream_instance_bound
+    bound = stream_instance_bound(n_render,
+                                  raster_cfg.max_tiles_per_gaussian,
+                                  raster_cfg.tier_budgets,
+                                  raster_cfg.tier_fracs)
     target = max(1024, int(load * margin))
     k = max(10, int(math.floor(math.log2(target))))
     for b in (1 << k, (3 << k) >> 1, 1 << (k + 1)):
         if b >= target:
             break
-    return 0 if b >= auto else b
+    b = min(b, bound + (-bound) % 128)
+    return b
 
 
 def _render_bucket(n_alive: int, capacity: int, margin: float = 1.2) -> int:

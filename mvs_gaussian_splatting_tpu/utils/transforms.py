@@ -61,3 +61,42 @@ def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray
     """L2 normalize along axis with torch.nn.functional.normalize's eps clamp."""
     n = jnp.linalg.norm(v, axis=axis, keepdims=True)
     return v / jnp.maximum(n, eps)
+
+
+def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix [3, 3] → unit quaternion [4] (w, x, y, z).
+
+    Branch-free Shepperd-style construction (max-compare over the four
+    candidate squared components, jit-safe) — used to express camera-frame
+    Gaussian rotations in world frame (mvs/train.py)."""
+    t = jnp.trace(R)
+    qw2 = jnp.maximum(0.0, 1 + t)
+    qx2 = jnp.maximum(0.0, 1 + R[0, 0] - R[1, 1] - R[2, 2])
+    qy2 = jnp.maximum(0.0, 1 - R[0, 0] + R[1, 1] - R[2, 2])
+    qz2 = jnp.maximum(0.0, 1 - R[0, 0] - R[1, 1] + R[2, 2])
+    cands = jnp.stack([
+        jnp.stack([qw2, R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                   R[1, 0] - R[0, 1]]),
+        jnp.stack([R[2, 1] - R[1, 2], qx2, R[0, 1] + R[1, 0],
+                   R[2, 0] + R[0, 2]]),
+        jnp.stack([R[0, 2] - R[2, 0], R[0, 1] + R[1, 0], qy2,
+                   R[1, 2] + R[2, 1]]),
+        jnp.stack([R[1, 0] - R[0, 1], R[2, 0] + R[0, 2], R[1, 2] + R[2, 1],
+                   qz2]),
+    ])                                                   # [4 cand, 4 comp]
+    mags = jnp.stack([qw2, qx2, qy2, qz2])
+    i = jnp.argmax(mags)
+    q = cands[i] / (2.0 * jnp.sqrt(jnp.maximum(mags[i], 1e-12)))
+    return q
+
+
+def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product [..., 4] ⊗ [..., 4] (w, x, y, z), broadcasting."""
+    aw, ax, ay, az = (a[..., i] for i in range(4))
+    bw, bx, by, bz = (b[..., i] for i in range(4))
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)

@@ -17,7 +17,31 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual CPU device count (ignored with --tpu)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real TPU backend instead of the "
+                         "virtual CPU mesh")
+    args = ap.parse_args()
+
     import jax
+    if not args.tpu:
+        # Self-provision a virtual CPU mesh (the axon sitecustomize
+        # pre-imports jax pointed at one remote TPU; env vars alone are too
+        # late — same pattern as __graft_entry__.dryrun_multichip).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count="
+                f"{args.devices}")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
     from mvs_gaussian_splatting_tpu.models.gaussians import init_from_pcd
     from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig
@@ -74,9 +98,110 @@ def main():
         return run
 
     results = measure_scaling(factory)
+
+    # ---- tile-sharded stream leg: weak scaling in IMAGE area ------------
+    # (the production multi-chip composite path; rows grow with the mesh)
+    from mvs_gaussian_splatting_tpu.ops.preprocess import preprocess
+    from mvs_gaussian_splatting_tpu.parallel.tile_stream import (
+        make_tile_sharded_stream)
+    from mvs_gaussian_splatting_tpu.parallel.gauss_stream import (
+        make_gauss_sharded_stream)
+    from mvs_gaussian_splatting_tpu.utils.transforms import normalize
+    from bench import build_scene
+    import time as _time
+
+    interp = not on_tpu
+
+    def tile_factory(n_dev):
+        w, h = 256, 128 * n_dev           # pixels ∝ devices
+        mesh = make_mesh(n_dev)
+        cfg = raster_cfg._replace(instance_cap=0)
+        cam, (means, ls, q, ol, shs) = build_scene(4000, w, h, seed=1)
+        fn = make_tile_sharded_stream(mesh, "data", w, h, cfg,
+                                      interpret=interp, round_robin=True)
+
+        def loss(m):
+            p = preprocess(m, jax.nn.sigmoid(ol), cam, w, h,
+                           scales=jnp.exp(ls), rotations=normalize(q),
+                           shs=shs, sh_degree=1,
+                           tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+            img, _ = fn(p, jnp.zeros(3))
+            return img.mean()
+
+        with mesh:
+            step = jax.jit(jax.grad(loss))
+        holder = {"x": means}
+
+        def run():
+            with mesh:
+                g = step(holder["x"])
+            holder["x"] = holder["x"] + 1e-9 * g   # perturb, defeat memoize
+            jax.block_until_ready(holder["x"])
+        return run
+
+    def gauss_factory(n_dev):
+        w, h = 256, 256
+        mesh = make_mesh(n_dev)
+        cfg = raster_cfg._replace(instance_cap=0)
+        n = 4096 * n_dev                  # gaussians ∝ devices
+        cam, (means, ls, q, ol, shs) = build_scene(n, w, h, seed=2)
+        fn = make_gauss_sharded_stream(mesh, "data", w, h, cfg,
+                                       n_total=n, interpret=interp)
+
+        def loss(m):
+            p = preprocess(m, jax.nn.sigmoid(ol), cam, w, h,
+                           scales=jnp.exp(ls), rotations=normalize(q),
+                           shs=shs, sh_degree=1,
+                           tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+            img, _ = fn(p, jnp.zeros(3))
+            return img.mean()
+
+        with mesh:
+            step = jax.jit(jax.grad(loss))
+        holder = {"x": means}
+
+        def run():
+            with mesh:
+                g = step(holder["x"])
+            holder["x"] = holder["x"] + 1e-9 * g
+            jax.block_until_ready(holder["x"])
+        return run
+
+    tile_results = measure_scaling(tile_factory, iters=3)
+    gauss_results = measure_scaling(gauss_factory, iters=3)
+
+    # ---- compile-only check at 1080p shapes over the full mesh ----------
+    # regress-tests that the sharded 1080p programs keep compiling; no
+    # execution (interpret-mode execution at 1080p is impractical on CPU)
+    n_all = len(jax.devices())
+    w1080, h1080 = 1920, 1088
+    mesh = make_mesh(n_all)
+    cfg1080 = RasterConfig(tile_w=32, tile_h=16, backend="stream",
+                           max_tiles_per_gaussian=32)
+    cam, (means, ls, q, ol, shs) = build_scene(50_000, w1080, h1080, seed=3)
+    fn1080 = make_tile_sharded_stream(mesh, "data", w1080, h1080, cfg1080,
+                                      interpret=interp, round_robin=True)
+
+    def loss1080(m):
+        p = preprocess(m, jax.nn.sigmoid(ol), cam, w1080, h1080,
+                       scales=jnp.exp(ls), rotations=normalize(q),
+                       shs=shs, sh_degree=3, tile_w=32, tile_h=16)
+        img, _ = fn1080(p, jnp.zeros(3))
+        return img.mean()
+
+    t0 = _time.perf_counter()
+    with mesh:
+        compiled = jax.jit(jax.grad(loss1080)).lower(means).compile()
+    compile_1080p = {"ok": compiled is not None,
+                     "seconds": round(_time.perf_counter() - t0, 1),
+                     "devices": n_all}
+
     print(json.dumps({
-        "metric": "weak_scaling_batched_step",
-        "results": results,
+        "metric": "weak_scaling_all_modes",
+        "camera_dp": results,
+        "tile_sharded_stream": tile_results,
+        "gauss_sharded_stream": gauss_results,
+        "compile_only_1080p_tile_sharded": compile_1080p,
         "note": ("efficiency is meaningful on real multi-chip hardware only; "
                  "virtual host-platform devices share one CPU and weak-scale "
                  "at ~1/n by construction"),

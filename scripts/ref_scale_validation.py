@@ -1,0 +1,282 @@
+"""Reference-scale synthetic validation run (VERDICT round-1 item #2).
+
+The strongest available proxy for real-scene parity in a zero-egress
+container: a bicycle-r4-scale workload — 1237x822 images, ~54K COLMAP-style
+init points (bicycle: 54,275), 30K iterations with densification to a few
+hundred thousand alive Gaussians through multiple opacity resets — run on
+real TPU hardware through the SAME on-disk dataset path a real scene uses
+(COLMAP binary files + PNGs → Scene → train()).
+
+Ground truth is a structured synthetic scene (textured ground + colored
+blob clusters) rendered by this framework's own rasterizer from a dense
+Gaussian set; the sparse init subsamples it with noise, like a COLMAP
+reconstruction. Reference PSNR milestones for the trajectory shape:
+slurm-37442026.out (bicycle r4: 23.54@7K, 25.10@15K, 25.75@40K).
+
+Writes: <out>/dataset (COLMAP layout), <out>/model (checkpoints, PLY),
+<out>/history.json, <out>/train.log. Run:
+    python scripts/ref_scale_validation.py --out /root/runs/refscale
+    python scripts/ref_scale_validation.py --smoke   # tiny CPU sanity run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_gt_scene(n_target: int = 150_000, seed: int = 0):
+    """Structured GT Gaussian soup: textured ground plane + blob clusters +
+    scattered dust. Returns dict of numpy arrays."""
+    rng = np.random.RandomState(seed)
+    parts = []
+
+    def add(xyz, scale, color, opac):
+        parts.append((xyz.astype(np.float32), scale.astype(np.float32),
+                      color.astype(np.float32), opac.astype(np.float32)))
+
+    # ground plane y = +1.5 (camera looks slightly down), procedural texture
+    ng = int(n_target * 0.45)
+    gx = rng.uniform(-8, 8, ng)
+    gz = rng.uniform(-8, 8, ng)
+    gy = 1.5 + 0.06 * np.sin(1.7 * gx) * np.cos(2.3 * gz) + rng.normal(0, 0.01, ng)
+    checker = ((np.floor(gx * 1.5) + np.floor(gz * 1.5)) % 2)
+    tex = 0.5 + 0.5 * np.sin(3.1 * gx) * np.sin(2.7 * gz)
+    col = np.stack([0.25 + 0.5 * checker,
+                    0.35 + 0.4 * tex,
+                    0.30 + 0.35 * (1 - checker) * tex], -1)
+    col += rng.normal(0, 0.05, col.shape)
+    add(np.stack([gx, gy, gz], -1),
+        rng.uniform(0.03, 0.09, (ng, 3)), np.clip(col, 0, 1),
+        rng.uniform(0.7, 0.98, ng))
+
+    # blob clusters (objects)
+    n_clusters = 24
+    nb = int(n_target * 0.45) // n_clusters
+    for c in range(n_clusters):
+        center = np.array([rng.uniform(-5, 5), rng.uniform(-0.8, 1.2),
+                           rng.uniform(-5, 5)])
+        radius = rng.uniform(0.3, 1.0)
+        base = rng.rand(3)
+        pts = center + rng.normal(0, radius / 2.2, (nb, 3))
+        col = np.clip(base + 0.35 * np.sin(7.0 * pts[:, :3]), 0, 1)
+        add(pts, rng.uniform(0.02, 0.07, (nb, 3)) * (radius + 0.4), col,
+            rng.uniform(0.6, 0.97, nb))
+
+    # dust
+    nd = n_target - sum(p[0].shape[0] for p in parts)
+    add(np.stack([rng.uniform(-7, 7, nd), rng.uniform(-1.5, 1.4, nd),
+                  rng.uniform(-7, 7, nd)], -1),
+        rng.uniform(0.01, 0.05, (nd, 3)), rng.rand(nd, 3),
+        rng.uniform(0.3, 0.9, nd))
+
+    xyz = np.concatenate([p[0] for p in parts])
+    scale = np.concatenate([p[1] for p in parts])
+    color = np.concatenate([p[2] for p in parts])
+    opac = np.concatenate([p[3] for p in parts])
+    quats = rng.randn(xyz.shape[0], 4).astype(np.float32)
+    return dict(xyz=xyz, scale=scale, color=color, opac=opac, quats=quats)
+
+
+def orbit_cameras(n_views: int, width: int, height: int, fovx_deg: float,
+                  seed: int = 1):
+    from mvs_gaussian_splatting_tpu.utils import graphics
+    rng = np.random.RandomState(seed)
+    fovx = math.radians(fovx_deg)
+    fovy = graphics.focal2fov(graphics.fov2focal(fovx, width), height)
+    cams = []
+    for i in range(n_views):
+        a = 2 * math.pi * i / n_views + rng.normal(0, 0.02)
+        r = 9.0 + 2.0 * math.sin(2.3 * a) + rng.normal(0, 0.2)
+        eye = np.array([r * math.sin(a),
+                        -1.2 - 0.8 * math.cos(1.7 * a),
+                        -r * math.cos(a)])
+        target = np.array([rng.normal(0, 0.3), 0.5, rng.normal(0, 0.3)])
+        fwd = target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        Rw2c = np.stack([right, np.cross(fwd, right), fwd])
+        cams.append((Rw2c, -Rw2c @ eye, fovx, fovy))
+    return cams
+
+
+def write_dataset(out_dir: str, width: int, height: int, n_views: int,
+                  n_gt: int, n_init: int, seed: int, log):
+    """Render GT views and write a COLMAP-layout dataset."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from mvs_gaussian_splatting_tpu.data.colmap import (
+        CameraIntrinsics, ImageExtrinsics, write_cameras_binary,
+        write_images_binary, write_points3d_binary)
+    from mvs_gaussian_splatting_tpu.ops.preprocess import CameraView, preprocess
+    from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig, rasterize
+    from mvs_gaussian_splatting_tpu.utils import graphics
+    from mvs_gaussian_splatting_tpu.utils.transforms import normalize
+
+    gt = build_gt_scene(n_gt, seed)
+    cams = orbit_cameras(n_views, width, height, 65.0, seed + 1)
+    backend = "stream" if jax.default_backend() == "tpu" else "jnp"
+    cfg = RasterConfig(tile_w=32 if backend == "stream" else 16, tile_h=16,
+                       tile_capacity=1024, max_tiles_per_gaussian=32,
+                       tile_batch=64, backend=backend)
+
+    means = jnp.asarray(gt["xyz"])
+    scales = jnp.asarray(gt["scale"])
+    quats = normalize(jnp.asarray(gt["quats"]))
+    opac = jnp.asarray(gt["opac"])
+    colors = jnp.asarray(gt["color"])
+
+    @jax.jit
+    def render_one(viewmat, projmat, campos, tanx, tany):
+        cam = CameraView(viewmat, projmat, campos, tanx, tany)
+        p = preprocess(means, opac, cam, width, height, scales=scales,
+                       rotations=quats, colors_precomp=colors,
+                       tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+        img, _ = rasterize(p, width, height, jnp.zeros(3), cfg)
+        return jnp.clip(img, 0.0, 1.0)
+
+    img_dir = os.path.join(out_dir, "images")
+    sparse = os.path.join(out_dir, "sparse", "0")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(sparse, exist_ok=True)
+
+    fx = graphics.fov2focal(cams[0][2], width)
+    fy = graphics.fov2focal(cams[0][3], height)
+    write_cameras_binary(
+        {1: CameraIntrinsics(id=1, model="PINHOLE", width=width,
+                             height=height,
+                             params=np.array([fx, fy, width / 2, height / 2]))},
+        os.path.join(sparse, "cameras.bin"))
+
+    from mvs_gaussian_splatting_tpu.data.colmap import rotmat2qvec
+    images = {}
+    t0 = time.time()
+    P = graphics.projection_matrix(0.01, 100.0, cams[0][2], cams[0][3])
+    for i, (R, t, fovx, fovy) in enumerate(cams):
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = t
+        img = np.asarray(render_one(
+            jnp.asarray(w2c), jnp.asarray((P @ w2c).astype(np.float32)),
+            jnp.asarray(np.linalg.inv(w2c)[:3, 3].astype(np.float32)),
+            jnp.float32(math.tan(fovx / 2)), jnp.float32(math.tan(fovy / 2))))
+        name = f"view_{i:04d}.png"
+        Image.fromarray((img.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+            os.path.join(img_dir, name))
+        images[i + 1] = ImageExtrinsics(
+            id=i + 1, qvec=rotmat2qvec(R), tvec=t.astype(np.float64),
+            camera_id=1, name=name)
+        if i % 20 == 0:
+            log(f"rendered {i + 1}/{n_views} GT views "
+                f"({time.time() - t0:.0f}s)")
+    write_images_binary(images, os.path.join(sparse, "images.bin"))
+
+    # sparse init: subsample GT with noise (a COLMAP-like point cloud)
+    rng = np.random.RandomState(seed + 2)
+    idx = rng.choice(gt["xyz"].shape[0], n_init, replace=False)
+    pts = gt["xyz"][idx] + rng.normal(0, 0.02, (n_init, 3)).astype(np.float32)
+    rgb = (np.clip(gt["color"][idx] + rng.normal(0, 0.03, (n_init, 3)), 0, 1)
+           * 255).astype(np.uint8)
+    write_points3d_binary(pts, rgb, os.path.join(sparse, "points3D.bin"))
+    log(f"dataset written to {out_dir} ({n_views} views, {n_init} init pts)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/runs/refscale")
+    ap.add_argument("--width", type=int, default=1237)
+    ap.add_argument("--height", type=int, default=822)
+    ap.add_argument("--views", type=int, default=120)
+    ap.add_argument("--gt_points", type=int, default=150_000)
+    ap.add_argument("--init_points", type=int, default=54_000)
+    ap.add_argument("--iterations", type=int, default=30_000)
+    ap.add_argument("--max_capacity", type=int, default=1_000_000)
+    ap.add_argument("--densify_grad_threshold", type=float, default=0.0002)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU sanity configuration")
+    args = ap.parse_args()
+    if args.smoke:
+        args.width, args.height = 160, 120
+        args.views, args.gt_points, args.init_points = 12, 3000, 500
+        args.iterations = 300
+
+    os.makedirs(args.out, exist_ok=True)
+    logf = open(os.path.join(args.out, "train.log"), "a", buffering=1)
+
+    def log(msg):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        logf.write(line + "\n")
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    log(f"devices: {jax.devices()}")
+
+    dataset = os.path.join(args.out, "dataset")
+    if not os.path.exists(os.path.join(dataset, "sparse", "0", "points3D.bin")):
+        write_dataset(dataset, args.width, args.height, args.views,
+                      args.gt_points, args.init_points, seed=0, log=log)
+
+    from mvs_gaussian_splatting_tpu.train.config import (ModelConfig,
+                                                         OptimizationConfig,
+                                                         PipelineConfig,
+                                                         TrainRunConfig)
+    from mvs_gaussian_splatting_tpu.train.loop import train
+
+    model_cfg = ModelConfig(source_path=dataset,
+                            model_path=os.path.join(args.out, "model"),
+                            eval=True, resolution=1)
+    opt_cfg = OptimizationConfig(iterations=args.iterations,
+                                 densify_grad_threshold=args.densify_grad_threshold,
+                                 max_capacity=args.max_capacity)
+    # 32x16 tiles: the measured-fastest stream config at ~1080p on v5e
+    # (PROFILE_FLOOR.md); the 16x16 default costs ~40% more tile instances
+    pipe_cfg = PipelineConfig(tile_w=32, tile_h=16,
+                              max_tiles_per_gaussian=32)
+    mile = [1000, 3000, 5000, 7000, 10_000, 15_000, 20_000, 25_000,
+            args.iterations]
+    run_cfg = TrainRunConfig(
+        test_iterations=[m for m in mile if m <= args.iterations],
+        save_iterations=[args.iterations],
+        checkpoint_iterations=[m for m in (7000, 15_000, 22_000)
+                               if m < args.iterations])
+
+    t0 = time.time()
+    params, aux, scene, history = train(model_cfg, opt_cfg, pipe_cfg, run_cfg,
+                                        log_fn=log)
+    wall = time.time() - t0
+    from mvs_gaussian_splatting_tpu.models.gaussians import num_alive
+    summary = {
+        "workload": f"{args.width}x{args.height}, {args.views} views, "
+                    f"{args.init_points} init pts, {args.iterations} iters",
+        "wall_seconds": round(wall, 1),
+        "final_alive": int(num_alive(aux)),
+        "psnr_test": history["psnr_test"],
+        "n_alive": history["n_alive"],
+        "iter_time": history["iter_time"][-20:],
+        "loss_tail": history["loss"][-20:],
+        "reference_milestones": {
+            "bicycle_r4_slurm-37442026": {"7000": 23.54, "15000": 25.10,
+                                          "40000": 25.75}},
+    }
+    with open(os.path.join(args.out, "history.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    log(f"DONE in {wall / 3600:.2f} h — final alive {summary['final_alive']}, "
+        f"PSNR {history['psnr_test']}")
+
+
+if __name__ == "__main__":
+    main()

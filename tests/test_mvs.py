@@ -142,3 +142,169 @@ class TestMVSEndToEnd:
         leaves = jax.tree.leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+class TestTransforms:
+    def test_rotmat_quat_roundtrip(self):
+        from mvs_gaussian_splatting_tpu.utils.transforms import (
+            quat_to_rotmat, rotmat_to_quat)
+        rng = np.random.RandomState(3)
+        for _ in range(8):
+            q = rng.randn(4)
+            q /= np.linalg.norm(q)
+            R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+            q2 = np.asarray(rotmat_to_quat(jnp.asarray(R)))
+            # q and -q are the same rotation
+            if np.dot(q, q2) < 0:
+                q2 = -q2
+            np.testing.assert_allclose(q2, q, atol=1e-5)
+
+    def test_quat_multiply_matches_matrix_product(self):
+        from mvs_gaussian_splatting_tpu.utils.transforms import (
+            quat_multiply, quat_to_rotmat)
+        rng = np.random.RandomState(4)
+        a = rng.randn(4); a /= np.linalg.norm(a)
+        b = rng.randn(4); b /= np.linalg.norm(b)
+        Rab = np.asarray(quat_to_rotmat(
+            quat_multiply(jnp.asarray(a), jnp.asarray(b))))
+        Ra = np.asarray(quat_to_rotmat(jnp.asarray(a)))
+        Rb = np.asarray(quat_to_rotmat(jnp.asarray(b)))
+        np.testing.assert_allclose(Rab, Ra @ Rb, atol=1e-5)
+
+    def test_gaussians_to_world_renders_like_cam_frame(self):
+        """Rendering world-frame Gaussians from the ref camera must equal
+        rendering the cam-frame Gaussians from an identity camera."""
+        import math
+        from mvs_gaussian_splatting_tpu.mvs.dataset import make_synthetic_groups
+        from mvs_gaussian_splatting_tpu.mvs.train import (gaussians_to_world,
+                                                          group_to_batch)
+        from mvs_gaussian_splatting_tpu.ops import CameraView, preprocess
+        from mvs_gaussian_splatting_tpu.ops.rasterize import (RasterConfig,
+                                                              rasterize)
+        from mvs_gaussian_splatting_tpu.utils import graphics
+        from mvs_gaussian_splatting_tpu.utils.transforms import normalize
+
+        rng = np.random.RandomState(7)
+        n = 64
+        out = {
+            "xyz_cam": jnp.asarray(
+                np.concatenate([rng.uniform(-1, 1, (n, 2)),
+                                rng.uniform(2, 5, (n, 1))], 1).astype(np.float32)),
+            "rotation": jnp.asarray(rng.randn(n, 4).astype(np.float32)),
+            "log_scaling": jnp.asarray(
+                np.log(rng.uniform(0.05, 0.2, (n, 3))).astype(np.float32)),
+            "opacity_logit": jnp.asarray(rng.randn(n, 1).astype(np.float32)),
+            "colors": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        }
+        # an arbitrary ref pose
+        groups = make_synthetic_groups(n_groups=1, width=48, height=32,
+                                       n_gauss=8, seed=1)
+        w2c = jnp.asarray(groups[0].ref.w2c)
+        xyz_w, rot_w = gaussians_to_world(out, w2c)
+
+        W, H = 48, 32
+        fovx = math.radians(55.0)
+        fovy = graphics.focal2fov(graphics.fov2focal(fovx, W), H)
+        P = jnp.asarray(graphics.projection_matrix(0.01, 100.0, fovx, fovy))
+        cfg = RasterConfig(tile_capacity=128, max_tiles_per_gaussian=16,
+                           tile_batch=8, backend="jnp")
+        tf = (jnp.float32(math.tan(fovx / 2)), jnp.float32(math.tan(fovy / 2)))
+
+        cam_world = CameraView(w2c, P @ w2c,
+                               jnp.linalg.inv(w2c)[:3, 3], *tf)
+        cam_ident = CameraView(jnp.eye(4), P, jnp.zeros(3), *tf)
+
+        def rend(cam, xyz, rot):
+            p = preprocess(xyz, jax.nn.sigmoid(out["opacity_logit"][:, 0]),
+                           cam, W, H, scales=jnp.exp(out["log_scaling"]),
+                           rotations=normalize(rot),
+                           colors_precomp=out["colors"])
+            return rasterize(p, W, H, jnp.zeros(3), cfg)[0]
+
+        img_world = rend(cam_world, xyz_w, rot_w)
+        img_cam = rend(cam_ident, out["xyz_cam"], out["rotation"])
+        np.testing.assert_allclose(np.asarray(img_world),
+                                   np.asarray(img_cam), atol=2e-4)
+
+
+class TestDataset:
+    CAM_TXT = """extrinsic
+0.9702 0.0 0.2425 -0.1
+0.0 1.0 0.0 0.05
+-0.2425 0.0 0.9702 2.0
+0.0 0.0 0.0 1.0
+
+intrinsic
+361.54 0.0 82.9
+0.0 360.39 66.7
+0.0 0.0 1.0
+
+425.0 2.5 192 905.0
+"""
+
+    def test_parse_cam_txt(self):
+        from mvs_gaussian_splatting_tpu.mvs.dataset import parse_cam_txt
+        w2c, K, near, far = parse_cam_txt(self.CAM_TXT)
+        assert w2c.shape == (4, 4) and K.shape == (3, 3)
+        assert w2c[2, 3] == pytest.approx(2.0)
+        assert K[0, 0] == pytest.approx(361.54)
+        assert near == pytest.approx(425.0)
+        assert far == pytest.approx(905.0)
+
+    def test_parse_cam_txt_two_field_depth(self):
+        from mvs_gaussian_splatting_tpu.mvs.dataset import parse_cam_txt
+        txt = self.CAM_TXT.replace("425.0 2.5 192 905.0", "425.0 2.5")
+        _, _, near, far = parse_cam_txt(txt)
+        assert near == pytest.approx(425.0)
+        assert far == pytest.approx(425.0 + 2.5 * 192)
+
+    def test_parse_pair_txt(self):
+        from mvs_gaussian_splatting_tpu.mvs.dataset import parse_pair_txt
+        txt = """2
+0
+3 10 2346.41 1 2036.53 9 1243.89
+1
+2 9 2850.87 10 2583.94
+"""
+        pairs = parse_pair_txt(txt)
+        assert pairs == {0: [10, 1, 9], 1: [9, 10]}
+
+    def test_synthetic_groups_shapes_and_parallax(self):
+        from mvs_gaussian_splatting_tpu.mvs.dataset import make_synthetic_groups
+        gs = make_synthetic_groups(n_groups=2, width=48, height=32,
+                                   n_gauss=100, seed=0)
+        assert len(gs) == 2
+        g = gs[0]
+        assert g.ref.image.shape == (3, 32, 48)
+        assert len(g.srcs) == 2
+        # views must differ (real parallax) but overlap (same scene)
+        d = np.abs(g.ref.image - g.srcs[0].image).mean()
+        assert 1e-3 < d < 0.5
+        assert g.ref.image.max() > 0.05
+
+
+class TestMVSTraining:
+    def test_train_synthetic_to_psnr(self):
+        """The full trainable branch: synthetic 3-view groups -> cost volume
+        -> Gaussians -> rasterizer -> photometric loss; a short run must
+        lift held-out-view PSNR well above the initialization."""
+        from mvs_gaussian_splatting_tpu.mvs.dataset import make_synthetic_groups
+        from mvs_gaussian_splatting_tpu.mvs.train import MVSConfig, train_mvs
+
+        groups = make_synthetic_groups(n_groups=4, width=64, height=48,
+                                       n_gauss=200, seed=2)
+        cfg = MVSConfig(iterations=150, lr=2e-3, num_depths=12,
+                        eval_every=50, backend="jnp", seed=0,
+                        feat_dims=(8, 16, 16))
+        _, history = train_mvs(cfg, groups[1:], eval_groups=groups[:1],
+                               log_fn=lambda s: None)
+        evals = history["psnr_eval"]
+        losses = dict(history["loss"])
+        first_loss = losses[min(losses)]
+        last_loss = losses[max(losses)]
+        # strong, non-flaky learning signals: training loss cut ~in half
+        # within 150 iters and held-out PSNR clearly above garbage
+        # (measured: loss 0.19 → 0.107, eval PSNR 18.9 → 19.6)
+        assert last_loss < 0.7 * first_loss, f"no learning: {losses}"
+        assert evals[max(evals)] > 16.0, f"PSNR too low: {evals}"
+        assert evals[max(evals)] >= evals[min(evals)], f"regressed: {evals}"
