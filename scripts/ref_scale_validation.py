@@ -206,6 +206,10 @@ def main():
     ap.add_argument("--densify_grad_threshold", type=float, default=0.0002)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU sanity configuration")
+    ap.add_argument("--grow_dir", action="store_true",
+                    help="learnable grow-direction mode (the fork's research "
+                         "feature; compare dynamics to slurm-36894046.out)")
+    ap.add_argument("--growdirs_lr", type=float, default=0.01)
     args = ap.parse_args()
     if args.smoke:
         args.width, args.height = 160, 120
@@ -238,10 +242,13 @@ def main():
 
     model_cfg = ModelConfig(source_path=dataset,
                             model_path=os.path.join(args.out, "model"),
-                            eval=True, resolution=1)
+                            eval=True, resolution=1,
+                            grow_dir=args.grow_dir,
+                            num_dirs=128 if args.grow_dir else 128)
     opt_cfg = OptimizationConfig(iterations=args.iterations,
                                  densify_grad_threshold=args.densify_grad_threshold,
-                                 max_capacity=args.max_capacity)
+                                 max_capacity=args.max_capacity,
+                                 growdirs_lr=args.growdirs_lr)
     # 32x16 tiles: the measured-fastest stream config at ~1080p on v5e
     # (PROFILE_FLOOR.md); the 16x16 default costs ~40% more tile instances
     pipe_cfg = PipelineConfig(tile_w=32, tile_h=16,
