@@ -160,3 +160,42 @@ class TestSpecStepSliceEquivalence:
                                    np.asarray(p_sl.dirs_prob), atol=1e-7)
         np.testing.assert_array_equal(np.asarray(aux_full.denom),
                                       np.asarray(aux_sl.denom))
+
+
+class TestInstanceBucket:
+    """Measured-load instance-cap buckets (train.loop._instance_bucket)."""
+
+    def _rc(self):
+        from mvs_gaussian_splatting_tpu.ops.rasterize import RasterConfig
+        return RasterConfig(tile_w=32, tile_h=16, max_tiles_per_gaussian=32)
+
+    def test_bucket_covers_margined_load_and_aligns(self):
+        from mvs_gaussian_splatting_tpu.train.loop import _instance_bucket
+        rc = self._rc()
+        for load in (100, 5_000, 123_456, 760_448, 3_000_000):
+            b = _instance_bucket(load, 1 << 20, rc)
+            assert b % 128 == 0
+            assert b >= min(load, b)  # never below what it clips to
+        assert _instance_bucket(760_448, 1 << 20, rc) >= 760_448 * 1.3
+
+    def test_bucket_clips_to_enumeration_bound(self):
+        from mvs_gaussian_splatting_tpu.ops.binning import stream_instance_bound
+        from mvs_gaussian_splatting_tpu.train.loop import _instance_bucket
+        rc = self._rc()
+        n = 65_536
+        bound = stream_instance_bound(n, rc.max_tiles_per_gaussian,
+                                      rc.tier_budgets, rc.tier_fracs)
+        b = _instance_bucket(10 * bound, n, rc)  # absurd load
+        assert b <= bound + 127  # clipped (CHUNK-rounded)
+
+    def test_bucket_can_exceed_auto_heuristic(self):
+        """Early training with large splats overflows the a-priori cap; the
+        bucket must be able to grow past it (round-2 fix)."""
+        from mvs_gaussian_splatting_tpu.ops.binning import auto_instance_cap
+        from mvs_gaussian_splatting_tpu.train.loop import _instance_bucket
+        rc = self._rc()
+        n = 1 << 18
+        auto = auto_instance_cap(n, rc.max_tiles_per_gaussian, rc.tile_w,
+                                 rc.tile_h, rc.tier_budgets, rc.tier_fracs)
+        b = _instance_bucket(int(auto * 1.5), n, rc)
+        assert b > auto
