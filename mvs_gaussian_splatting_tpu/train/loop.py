@@ -273,6 +273,10 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 sh_degree=active_sh, render_n=render_n,
                 instance_cap=inst_cap)
 
+        # Pre-densify state refs for the report (free — JAX arrays are
+        # immutable; only eval iterations keep them live past densify)
+        eval_state = (params, aux, render_n)
+
         # ---- densification schedule (train.py:126-137) -------------------
         if iteration < opt_cfg.densify_until_iter:
             if (iteration > opt_cfg.densify_from_iter
@@ -374,7 +378,11 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     or (run_cfg.eval_every and iteration % run_cfg.eval_every == 0))
         if eval_now:
             # training-report parity (train.py:210-236): full test set AND
-            # 5 fixed train views, L1 + PSNR for both
+            # 5 fixed train views, L1 + PSNR for both. Evaluates the
+            # PRE-densify/reset state captured above, matching the
+            # reference's report-before-densify order (train.py:111-137) —
+            # an eval at an opacity-reset iteration must not see the reset.
+            e_params, e_aux, e_rn = eval_state
             train_all = scene.get_train_cameras()
             configs = [("test", scene.get_test_cameras()),
                        ("train", [train_all[idx % len(train_all)]
@@ -383,8 +391,8 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             for split, cams in configs:
                 if not cams:
                     continue
-                l1v, ps = evaluate_split(eval_metrics, params, aux, cams,
-                                         bg, active_sh, render_n=render_n)
+                l1v, ps = evaluate_split(eval_metrics, e_params, e_aux, cams,
+                                         bg, active_sh, render_n=e_rn)
                 log_fn(f"[ITER {iteration}] Evaluating {split}: "
                        f"L1 {l1v:.6f} PSNR {ps:.2f}")
                 if tb_writer is not None:
@@ -394,20 +402,20 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                         f"{split}/loss_viewpoint - psnr", ps, iteration)
                 if split == "test":
                     history["psnr_test"][iteration] = ps
-                    history["n_alive"][iteration] = int(num_alive(aux))
+                    history["n_alive"][iteration] = int(num_alive(e_aux))
             if scene.get_test_cameras():
                 if tb_writer is not None:
-                    tb_writer.add_scalar("total_points", int(num_alive(aux)),
-                                         iteration)
+                    tb_writer.add_scalar("total_points",
+                                         int(num_alive(e_aux)), iteration)
                     tb_writer.add_histogram(
                         "scene/opacity_histogram",
                         np.asarray(jax.nn.sigmoid(
-                            params.opacity[np.asarray(aux.alive), 0])),
+                            e_params.opacity[np.asarray(e_aux.alive), 0])),
                         iteration)
                 if model_cfg.model_path:
                     _dump_val_image(model_cfg.model_path, iteration,
-                                    eval_render, params, aux, scene, bg,
-                                    active_sh, render_n=render_n)
+                                    eval_render, e_params, e_aux, scene, bg,
+                                    active_sh, render_n=e_rn)
 
         if iteration in run_cfg.save_iterations and model_cfg.model_path:
             log_fn(f"[ITER {iteration}] Saving Gaussians")
