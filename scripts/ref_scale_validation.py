@@ -226,6 +226,10 @@ def main():
                     help="learnable grow-direction mode (the fork's research "
                          "feature; compare dynamics to slurm-36894046.out)")
     ap.add_argument("--growdirs_lr", type=float, default=0.01)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the newest chkpnt*.npz in <out>/model "
+                         "(rounds are wall-clock bounded; interrupted runs "
+                         "continue instead of restarting)")
     args = ap.parse_args()
     if args.smoke:
         args.width, args.height = 160, 120
@@ -270,13 +274,26 @@ def main():
     # (PROFILE_FLOOR.md); the 16x16 default costs ~40% more tile instances
     pipe_cfg = PipelineConfig(tile_w=32, tile_h=16,
                               max_tiles_per_gaussian=32)
+    start_checkpoint = ""
+    if args.resume:
+        import glob
+        import re
+        cands = glob.glob(os.path.join(args.out, "model", "chkpnt*.npz"))
+        if cands:
+            start_checkpoint = max(
+                cands, key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)))
+            log(f"resuming from {start_checkpoint}")
+        else:
+            log("--resume: no checkpoint found, starting fresh")
+
     mile = [1000, 3000, 5000, 7000, 10_000, 15_000, 20_000, 25_000,
             args.iterations]
     run_cfg = TrainRunConfig(
         test_iterations=[m for m in mile if m <= args.iterations],
         save_iterations=[args.iterations],
         checkpoint_iterations=[m for m in (7000, 15_000, 22_000)
-                               if m < args.iterations])
+                               if m < args.iterations],
+        start_checkpoint=start_checkpoint)
 
     t0 = time.time()
     params, aux, scene, history = train(model_cfg, opt_cfg, pipe_cfg, run_cfg,
