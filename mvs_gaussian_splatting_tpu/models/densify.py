@@ -162,6 +162,17 @@ def _postfix_and_prune(params, mu, nu, alive, extent, cfg: DensifyConfig,
     prune = alive & (opac < cfg.min_opacity)
     big_ws = alive & (jnp.exp(params.scaling).max(axis=1) > 0.1 * extent)
     prune = prune | (size_threshold_active & big_ws)
+    # Quarantine any row whose parameters are non-finite (defense in depth on
+    # top of optim.scrub_grads — also heals checkpoints poisoned before the
+    # round-3 NaN fixes). The reference never needs this because its CUDA
+    # kernels cannot emit NaN grads for culled splats.
+    finite = None
+    for leaf in params:
+        if leaf is None:
+            continue
+        f = jnp.isfinite(leaf).reshape(leaf.shape[0], -1).all(-1)
+        finite = f if finite is None else (finite & f)
+    prune = prune | (alive & ~finite)
     if cfg.fix_vs_prune:
         big_vs = alive & (aux.max_radii2d > cfg.max_screen_size)
         prune = prune | (size_threshold_active & big_vs)

@@ -115,12 +115,24 @@ def preprocess(
     depth = p_view[:, 2]
     in_frustum = depth > 0.2
 
-    # World → clip → NDC (with the CUDA 1e-7 w-guard).
+    # World → clip → NDC (with the CUDA 1e-7 w-guard). The divisor must be
+    # sanitized for CULLED rows, not just guarded: a splat crossing the
+    # camera plane hits w ≈ -1e-7, and even though every consumer of its xy
+    # is visibility-masked, the backward of the raw divide is cotangent·(1/w)
+    # = 0·inf = NaN — one such event poisons the row's Adam moments, then its
+    # params, then (via a NaN depth sort key) the entire instance ordering.
+    # Root cause of the round-2 reference-scale divergence (VERDICT Missing
+    # #1): runs/refscale2 chkpnt15000 carries exactly one NaN row, chkpnt22000
+    # 348, with the render collapsing to the top tile rows.
+    # For in-frustum rows w_hom == view z ≥ 0.2 (projmatrix = P @ W2V with
+    # P[3] = [0,0,1,0]), so the +1e-7 guard only ever matters off-frustum —
+    # replacing the divisor by 1.0 there is exact for every visible output.
     p_hom = ((means3d[:, None, :] * camera.projmatrix[None, :3, :3]).sum(-1)
              + camera.projmatrix[:3, 3])
     w_hom = ((means3d * camera.projmatrix[3, :3]).sum(-1)
              + camera.projmatrix[3, 3])
-    p_ndc = p_hom[:, :2] / (w_hom[:, None] + 1e-7)
+    w_safe = jnp.where(in_frustum, w_hom + 1e-7, 1.0)
+    p_ndc = p_hom[:, :2] / w_safe[:, None]
     if ndc_offset is not None:
         p_ndc = p_ndc + ndc_offset
     xy = jnp.stack([
@@ -208,7 +220,12 @@ def preprocess(
         rgb = colors_precomp
     else:
         dirs = means3d - camera.campos
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        # A splat exactly at the camera center must not emit NaN, forward OR
+        # backward (it is culled by the z > 0.2 frustum test anyway). The
+        # clamp must sit INSIDE the sqrt: maximum(norm(v), eps) still
+        # backprops v/||v|| = 0/0 at v = 0 before the clamp can zero it.
+        n2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+        dirs = dirs / jnp.sqrt(jnp.maximum(n2, 1e-16))
         rgb, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
 
     return Processed(xy=xy, depth=depth, conic=conic, rgb=rgb,

@@ -25,7 +25,7 @@ from ..ops.rasterize import RasterConfig
 from ..ops.render import render
 from ..utils.losses import l1_loss, ssim
 from .mesh import batch_sharded, replicated
-from ..train.optim import AdamState, adam_update, group_lrs
+from ..train.optim import AdamState, adam_update, group_lrs, scrub_grads
 
 
 class BatchStepMetrics(NamedTuple):
@@ -35,6 +35,7 @@ class BatchStepMetrics(NamedTuple):
     overflow_tiles: jnp.ndarray
     overflow_capacity: jnp.ndarray
     instance_load: jnp.ndarray
+    nonfinite_grad_rows: jnp.ndarray
 
 
 def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
@@ -93,6 +94,9 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
         (loss, (l1, radii, vis, ot, oc, il)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
+        # scrub AFTER the cross-camera mean: one camera's NaN poisons the
+        # reduced row either way, and scrubbing the reduced tree is B× cheaper
+        g_params, n_bad = scrub_grads(g_params)
         lrs = group_lrs(opt_cfg, step_i, spatial_lr_scale, params)
         new_params, new_adam = adam_update(g_params, adam, params, lrs,
                                            alive=aux.alive)
@@ -114,7 +118,7 @@ def make_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
 
         metrics = BatchStepMetrics(loss=loss, l1=l1, n_visible=vis.any(0).sum(),
                                    overflow_tiles=ot, overflow_capacity=oc,
-                                   instance_load=il)
+                                   instance_load=il, nonfinite_grad_rows=n_bad)
         return new_params, new_adam, new_aux, metrics
 
     def place_inputs(params, adam, aux, cams, gts, bg):

@@ -100,6 +100,12 @@ class TrainRunConfig:
     seed: int = 0
     log_every: int = 10
     data_parallel: int = 0   # cameras per step over the device mesh (0 = off)
+    tile_parallel: int = 0   # shard ONE camera's tiles over N devices (0 = off)
+    # Unattended-run safety (VERDICT round-2 item #5): abort when the test
+    # PSNR at an eval sits more than `divergence_psnr_drop` dB below its
+    # running max for `divergence_patience` consecutive evals. 0 = disabled.
+    divergence_psnr_drop: float = 0.0
+    divergence_patience: int = 3
 
 
 def save_cfg_args(model_path: str, model_cfg: ModelConfig) -> None:

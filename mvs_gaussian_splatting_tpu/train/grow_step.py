@@ -21,7 +21,7 @@ from ..ops.preprocess import preprocess
 from ..ops.rasterize import RasterConfig, rasterize
 from ..utils.losses import l1_loss, ssim
 from ..utils.transforms import normalize
-from .optim import AdamState, adam_update, group_lrs
+from .optim import AdamState, adam_update, group_lrs, scrub_grads
 from .step import StepMetrics
 
 
@@ -98,6 +98,7 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
         (loss, (l1, raux)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
+        g_params, n_bad = scrub_grads(g_params)
         lrs = group_lrs(opt_cfg, step_i, spatial_lr_scale, params)
         new_params, new_adam = adam_update(g_params, adam, params, lrs,
                                            alive=aux.alive)
@@ -115,7 +116,8 @@ def make_spec_train_step(opt_cfg, raster_cfg: RasterConfig,
         metrics = StepMetrics(loss=loss, l1=l1, n_visible=visible.sum(),
                               overflow_tiles=raux["overflow_tiles"],
                               overflow_capacity=raux["overflow_capacity"],
-                              instance_load=raux["tile_counts"].sum())
+                              instance_load=raux["tile_counts"].sum(),
+                              nonfinite_grad_rows=n_bad)
         return new_params, new_adam, new_aux, metrics
 
     return step
@@ -204,6 +206,7 @@ def make_spec_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, ndc_zero))
 
+        g_params, n_bad = scrub_grads(g_params)
         lrs = group_lrs(opt_cfg, step_i, spatial_lr_scale, params)
         new_params, new_adam = adam_update(g_params, adam, params, lrs,
                                            alive=aux.alive)
@@ -229,7 +232,7 @@ def make_spec_batch_train_step(opt_cfg, raster_cfg: RasterConfig,
 
         metrics = StepMetrics(loss=loss, l1=l1, n_visible=vis.any(0).sum(),
                               overflow_tiles=ot, overflow_capacity=oc,
-                              instance_load=il)
+                              instance_load=il, nonfinite_grad_rows=n_bad)
         return new_params, new_adam, new_aux, metrics
 
     def place_inputs(params, adam, aux, cams, gts, bg):

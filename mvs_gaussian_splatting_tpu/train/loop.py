@@ -107,6 +107,21 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         log_fn(f"data-parallel: {run_cfg.data_parallel} cameras/step over "
                f"{mesh.devices.size} device(s)")
 
+    tile_step = None
+    if run_cfg.tile_parallel > 0:
+        if run_cfg.data_parallel > 0:
+            raise ValueError("tile_parallel and data_parallel are exclusive "
+                             "train modes (a 2D mesh composition is future "
+                             "work)")
+        from ..parallel.mesh import make_mesh
+        from ..parallel.tile_train import make_tile_train_step
+        n_dev = len(jax.devices())
+        t_mesh = make_mesh(min(n_dev, run_cfg.tile_parallel), axes=("tile",))
+        tile_step, tile_place = make_tile_train_step(
+            opt_cfg, raster_cfg, spatial_lr_scale, t_mesh)
+        log_fn(f"tile-parallel: 1 camera/step, tiles sharded over "
+               f"{t_mesh.devices.size} device(s)")
+
     grow_cfg = None
     sphere_dirs = None
     spec_step = None
@@ -161,6 +176,8 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     tb_writer = _make_tb_writer(model_cfg.model_path)
     viewpoint_stack: list = []
     history = {"loss": [], "psnr_test": {}, "n_alive": {}, "iter_time": []}
+    best_test_psnr = -1.0
+    diverged_evals = 0
     ema_loss = 0.0
     t_last = time.perf_counter()
     progress = _make_progress(first_iter, opt_cfg.iterations)
@@ -265,6 +282,15 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     jnp.int32(iteration), jnp.asarray(do_stats),
                     width=size[2], height=size[1], sh_degree=active_sh,
                     render_n=render_n, instance_cap=inst_cap)
+        elif tile_step is not None:
+            params, adam, aux, cam_v, gt_p, bg_p = tile_place(
+                params, adam, aux, cam.view(), gt, bg_it)
+            params, adam, aux, metrics = tile_step(
+                params, adam, aux, cam_v, gt_p, bg_p,
+                jnp.int32(iteration), jnp.asarray(do_stats),
+                width=cam.image.shape[2], height=cam.image.shape[1],
+                sh_degree=active_sh, render_n=render_n,
+                instance_cap=inst_cap)
         else:
             params, adam, aux, metrics = train_step(
                 params, adam, aux, cam.view(), gt, bg_it,
@@ -333,10 +359,13 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         # therefore blends SAMPLED losses (every 10th) — display-only
         # smoothing, slightly noisier than the reference's per-iteration EMA.
         if iteration % 10 == 0 or iteration % run_cfg.log_every == 0:
-            loss, oc_now, il_now = (float(v) for v in jax.device_get(
+            loss, oc_now, il_now, nf_now = (float(v) for v in jax.device_get(
                 (metrics.loss, metrics.overflow_capacity,
-                 metrics.instance_load)))
+                 metrics.instance_load, metrics.nonfinite_grad_rows)))
             ema_loss = 0.4 * loss + 0.6 * ema_loss
+            if nf_now > 0:
+                log_fn(f"[ITER {iteration}] WARNING: {int(nf_now)} rows had "
+                       "non-finite gradients (zeroed by scrub_grads)")
             if stream_caps and oc_now > 0:
                 # cap too tight — either the measured-load bucket after a
                 # load spike (e.g. right after an opacity reset) or the
@@ -403,6 +432,43 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 if split == "test":
                     history["psnr_test"][iteration] = ps
                     history["n_alive"][iteration] = int(num_alive(e_aux))
+            # per-eval shape diagnostics (VERDICT round-2 weak #1): opacity /
+            # scale distributions and floater extents, one fetch each
+            al_np = np.asarray(e_aux.alive)
+            if al_np.any():
+                op = np.asarray(jax.nn.sigmoid(e_params.opacity[:, 0]))[al_np]
+                sc = np.exp(np.asarray(e_params.scaling))[al_np].max(axis=1)
+                r = np.linalg.norm(np.asarray(e_params.xyz)[al_np], axis=1)
+                log_fn(f"[ITER {iteration}] diag: opacity med {np.median(op):.3f} "
+                       f"frac<0.005 {(op < 0.005).mean():.3f} | "
+                       f"scale med {np.median(sc):.4f} p99 {np.percentile(sc, 99):.3f} "
+                       f"max {sc.max():.2f} | xyz-radius p99 "
+                       f"{np.percentile(r, 99):.1f} max {r.max():.1f}")
+            # divergence guard (VERDICT round-2 item #5): unattended runs must
+            # stop and checkpoint instead of burning hardware on garbage
+            ps_now = history["psnr_test"].get(iteration)
+            if run_cfg.divergence_psnr_drop > 0 and ps_now is not None:
+                if ps_now > best_test_psnr:
+                    best_test_psnr = ps_now
+                    diverged_evals = 0
+                elif ps_now < best_test_psnr - run_cfg.divergence_psnr_drop:
+                    diverged_evals += 1
+                    log_fn(f"[ITER {iteration}] divergence warning "
+                           f"{diverged_evals}/{run_cfg.divergence_patience}: "
+                           f"test PSNR {ps_now:.2f} vs best {best_test_psnr:.2f}")
+                    if diverged_evals >= run_cfg.divergence_patience:
+                        if model_cfg.model_path:
+                            save_checkpoint(
+                                f"{model_cfg.model_path}/chkpnt{iteration}.npz",
+                                params, adam, aux, iteration, active_sh)
+                        log_fn(f"[ITER {iteration}] ABORTING: test PSNR "
+                               f"{run_cfg.divergence_patience} evals "
+                               f">{run_cfg.divergence_psnr_drop} dB below best "
+                               f"{best_test_psnr:.2f} — checkpoint saved")
+                        history["aborted"] = iteration
+                        return params, aux, scene, history
+                else:
+                    diverged_evals = 0
             if scene.get_test_cameras():
                 if tb_writer is not None:
                     tb_writer.add_scalar("total_points",

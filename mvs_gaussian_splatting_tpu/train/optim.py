@@ -67,6 +67,33 @@ def group_lrs(opt_cfg, step, spatial_lr_scale,
         None if p is None else lr for p, lr in zip(params, lrs)])
 
 
+def scrub_grads(grads: GaussianParams):
+    """Zero the gradients of rows carrying any non-finite value.
+
+    Belt-and-braces numerical containment: the CUDA rasterizer structurally
+    emits zero gradients for culled splats, while a traced JAX backward can
+    produce inf/NaN for them through masked branches (the 0·inf cotangent
+    trap). The renderer sanitizes its own divides (ops/preprocess.py), but
+    ONE escaped NaN gradient permanently poisons that row's Adam moments and,
+    once the row's params are NaN, its depth key corrupts the global instance
+    sort — observed as whole-image render collapse in the round-2 validation
+    runs. This guard keeps a pathological row inert (and counted) instead.
+
+    Returns (scrubbed grads, number of rows zeroed) — the count feeds
+    StepMetrics.nonfinite_grad_rows so poisoning attempts stay observable.
+    """
+    leaves = [g for g in jax.tree.leaves(grads)]
+    finite = None
+    for g in leaves:
+        f = jnp.isfinite(g).reshape(g.shape[0], -1).all(-1)
+        finite = f if finite is None else (finite & f)
+    n_bad = (~finite).sum()
+    scrubbed = jax.tree.map(
+        lambda g: jnp.where(finite.reshape((-1,) + (1,) * (g.ndim - 1)),
+                            g, 0.0), grads)
+    return scrubbed, n_bad
+
+
 def adam_update(grads: GaussianParams, state: AdamState, params: GaussianParams,
                 lrs: GaussianParams, alive=None, b1: float = 0.9,
                 b2: float = 0.999, eps: float = 1e-15):

@@ -22,7 +22,7 @@ from ..models.gaussians import GaussianAux, GaussianParams
 from ..ops.rasterize import RasterConfig
 from ..ops.render import render
 from ..utils.losses import l1_loss, ssim
-from .optim import AdamState, adam_update, group_lrs
+from .optim import AdamState, adam_update, group_lrs, scrub_grads
 
 
 class StepMetrics(NamedTuple):
@@ -32,6 +32,7 @@ class StepMetrics(NamedTuple):
     overflow_tiles: jnp.ndarray
     overflow_capacity: jnp.ndarray
     instance_load: jnp.ndarray
+    nonfinite_grad_rows: jnp.ndarray   # rows zeroed by optim.scrub_grads
 
 
 def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
@@ -94,6 +95,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
         (loss, (out, l1)), (g_params, g_ndc) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, ndc_zero)
 
+        g_params, n_bad = scrub_grads(g_params)
         lrs = group_lrs(opt_cfg, step, spatial_lr_scale, params)
         new_params, new_adam = adam_update(g_params, adam, params, lrs,
                                            alive=aux.alive)
@@ -109,7 +111,8 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
                               n_visible=visible.sum(),
                               overflow_tiles=out["overflow_tiles"],
                               overflow_capacity=out["overflow_capacity"],
-                              instance_load=out["instance_load"])
+                              instance_load=out["instance_load"],
+                              nonfinite_grad_rows=n_bad)
         return new_params, new_adam, new_aux, metrics
 
     return train_step

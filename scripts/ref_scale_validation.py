@@ -226,10 +226,16 @@ def main():
                     help="learnable grow-direction mode (the fork's research "
                          "feature; compare dynamics to slurm-36894046.out)")
     ap.add_argument("--growdirs_lr", type=float, default=0.01)
-    ap.add_argument("--resume", action="store_true",
+    ap.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="resume from the newest chkpnt*.npz in <out>/model "
-                         "(rounds are wall-clock bounded; interrupted runs "
-                         "continue instead of restarting)")
+                         "(default ON: rounds are wall-clock bounded and an "
+                         "interrupted run must continue, not restart — the "
+                         "round-2 refscale2 relaunch retrained from scratch; "
+                         "--no-resume forces a fresh start)")
+    ap.add_argument("--divergence_psnr_drop", type=float, default=3.0,
+                    help="abort+checkpoint when test PSNR sits this many dB "
+                         "below its best for 3 consecutive evals (0=off)")
     args = ap.parse_args()
     if args.smoke:
         args.width, args.height = 160, 120
@@ -237,6 +243,8 @@ def main():
         args.iterations = 300
 
     os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "pid.txt"), "w") as f:
+        f.write(f"{os.path.basename(args.out)} pid {os.getpid()}\n")
     logf = open(os.path.join(args.out, "train.log"), "a", buffering=1)
 
     def log(msg):
@@ -278,13 +286,25 @@ def main():
     if args.resume:
         import glob
         import re
-        cands = glob.glob(os.path.join(args.out, "model", "chkpnt*.npz"))
+        # only digit-bearing names participate (ADVICE r2: a stray
+        # 'chkpnt.npz' must not crash the resume path)
+        cands = [(int(m.group(1)), p)
+                 for p in glob.glob(os.path.join(args.out, "model",
+                                                 "chkpnt*.npz"))
+                 for m in [re.search(r"chkpnt(\d+)\.npz$",
+                                     os.path.basename(p))] if m]
         if cands:
-            start_checkpoint = max(
-                cands, key=lambda p: int(re.search(r"(\d+)", os.path.basename(p)).group(1)))
+            it, best = max(cands)
+            if it >= args.iterations:
+                # ADVICE r2: resuming at/past the target would train zero
+                # iterations and silently overwrite the final outputs
+                log(f"resume: checkpoint {best} is at iteration {it} >= "
+                    f"--iterations {args.iterations}; nothing to do, exiting")
+                return
+            start_checkpoint = best
             log(f"resuming from {start_checkpoint}")
         else:
-            log("--resume: no checkpoint found, starting fresh")
+            log("resume: no checkpoint found, starting fresh")
 
     mile = [1000, 3000, 5000, 7000, 10_000, 15_000, 20_000, 25_000,
             args.iterations]
@@ -293,7 +313,8 @@ def main():
         save_iterations=[args.iterations],
         checkpoint_iterations=[m for m in (7000, 15_000, 22_000)
                                if m < args.iterations],
-        start_checkpoint=start_checkpoint)
+        start_checkpoint=start_checkpoint,
+        divergence_psnr_drop=args.divergence_psnr_drop)
 
     t0 = time.time()
     params, aux, scene, history = train(model_cfg, opt_cfg, pipe_cfg, run_cfg,
