@@ -69,11 +69,12 @@ def main():
 
     width, height = 1920, 1088
     n = 200_000
+    fast = "--fast" in sys.argv
     backend = "stream" if jax.default_backend() == "tpu" else "jnp"
     tile_w, tile_h = (32, 16) if backend == "stream" else (16, 16)
     cfg = RasterConfig(tile_w=tile_w, tile_h=tile_h, tile_capacity=1024,
                        max_tiles_per_gaussian=32, tile_batch=256,
-                       backend=backend)
+                       backend=backend, fast_math=fast)
     cam, (means, log_scales, quats, opac_logit, shs) = build_scene(n, width, height)
     bg = jnp.zeros(3)
 
@@ -155,7 +156,7 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "extra": {
             "mpix_per_s": round(mpix_s, 1),
-            "backend": backend,
+            "backend": backend + ("+fast" if fast else ""),
             "device": str(jax.devices()[0]),
             "tile_capacity_overflow_entries": overflow,
             "ms_per_step": round(dt * 1000, 2),

@@ -37,6 +37,10 @@ class MVSView:
     w2c: np.ndarray            # [4, 4] world→camera
     near: float
     far: float
+    # optional alpha-composited expected-depth map [H, W] (0 where nothing
+    # renders) — synthetic fixtures provide it for depth supervision
+    # (MVSConfig.lambda_depth); DTU loaders leave it None
+    depth: Optional[np.ndarray] = None
 
     @property
     def height(self) -> int:
@@ -244,18 +248,27 @@ def make_synthetic_groups(n_groups: int = 6, width: int = 64,
                        colors_precomp=jnp.asarray(colors),
                        tile_w=cfg.tile_w, tile_h=cfg.tile_h)
         img, _ = rasterize(p, width, height, jnp.zeros(3), cfg)
-        return jnp.clip(img, 0.0, 1.0)
+        # alpha-composited expected depth (standard depth-render trick:
+        # per-Gaussian camera-space z as the "color"), normalized by the
+        # rendered opacity so fully-covered pixels read true depth
+        z_cam = ((jnp.asarray(means) * viewmat[2, :3]).sum(-1)
+                 + viewmat[2, 3])
+        pz = p._replace(rgb=jnp.broadcast_to(z_cam[:, None], (z_cam.shape[0], 3)))
+        dimg, daux = rasterize(pz, width, height, jnp.zeros(3), cfg)
+        alpha = 1.0 - daux["final_T"]
+        depth = jnp.where(alpha > 0.3, dimg[0] / jnp.maximum(alpha, 1e-6), 0.0)
+        return jnp.clip(img, 0.0, 1.0), depth
 
     def view_at(angle) -> MVSView:
         r = 3.2 + 0.15 * math.sin(3 * angle)
         eye = np.array([r * math.sin(angle), 0.5 * math.cos(2 * angle),
                         -r * math.cos(angle)])
         w2c = look_at_w2c(eye)
-        img = np.asarray(render_view(w2c, (P @ w2c).astype(np.float32),
-                                     np.linalg.inv(w2c)[:3, 3].astype(
-                                         np.float32)))
-        return MVSView(image=img.astype(np.float32), K=K.copy(), w2c=w2c,
-                       near=1.5, far=6.0)
+        img, depth = render_view(w2c, (P @ w2c).astype(np.float32),
+                                 np.linalg.inv(w2c)[:3, 3].astype(np.float32))
+        return MVSView(image=np.asarray(img).astype(np.float32), K=K.copy(),
+                       w2c=w2c, near=1.5, far=6.0,
+                       depth=np.asarray(depth).astype(np.float32))
 
     groups = []
     spread = 0.12
@@ -267,3 +280,19 @@ def make_synthetic_groups(n_groups: int = 6, width: int = 64,
         target = view_at(base + spread / 2)
         groups.append(MVSGroup(ref=ref, srcs=srcs, target=target))
     return groups
+
+
+def make_synthetic_scenes(n_scenes: int = 4, groups_per_scene: int = 2,
+                          width: int = 64, height: int = 48,
+                          n_gauss: int = 300, num_src: int = 2,
+                          seed: int = 0,
+                          backend: str = "jnp") -> List[List[MVSGroup]]:
+    """Independent synthetic scenes (distinct Gaussian clouds), each with its
+    own camera-arc groups — the held-out-SCENE generalization fixture: train
+    on scenes[1:], evaluate on the never-seen scenes[0] (the generalizable
+    MVS setting, unlike per-scene view holdout)."""
+    return [make_synthetic_groups(n_groups=groups_per_scene, width=width,
+                                  height=height, n_gauss=n_gauss,
+                                  num_src=num_src, seed=seed + 1000 * i,
+                                  backend=backend)
+            for i in range(n_scenes)]

@@ -38,6 +38,10 @@ class MVSConfig:
     lr_final_factor: float = 0.1
     num_depths: int = 32
     lambda_dssim: float = 0.2
+    # optional depth supervision: L1 between the cost-volume expected depth
+    # and the reference view's GT depth map (synthetic fixtures render one;
+    # MVSView.depth None disables per group). Normalized by (far - near).
+    lambda_depth: float = 0.0
     eval_every: int = 500
     model_path: str = ""
     num_src: int = 2
@@ -60,6 +64,8 @@ class MVSBatch(NamedTuple):
     w2c_ref: jnp.ndarray         # [4, 4]
     target_cam: CameraView
     target_image: jnp.ndarray    # [3, H, W]
+    ref_depth: jnp.ndarray       # [H, W] GT depth (0 where unknown)
+    has_depth: jnp.ndarray       # [] 1.0 when ref_depth is real
 
 
 def _feat_k(K: np.ndarray, scale: float = 0.25) -> np.ndarray:
@@ -106,6 +112,10 @@ def group_to_batch(g: MVSGroup) -> MVSBatch:
         w2c_ref=jnp.asarray(ref.w2c),
         target_cam=_camera_view(g.target),
         target_image=jnp.asarray(g.target.image),
+        ref_depth=jnp.asarray(
+            ref.depth if ref.depth is not None
+            else np.zeros(ref.image.shape[1:], np.float32)),
+        has_depth=jnp.float32(0.0 if ref.depth is None else 1.0),
     )
 
 
@@ -150,6 +160,17 @@ def make_mvs_train_step(model: MVSGaussianModel, cfg: MVSConfig,
             l1 = l1_loss(img, batch.target_image)
             loss = ((1.0 - cfg.lambda_dssim) * l1
                     + cfg.lambda_dssim * (1.0 - ssim(img, batch.target_image)))
+            if cfg.lambda_depth > 0:
+                # supervise the cost-volume expected depth against the ref
+                # view's GT depth (resized to feature scale, masked where
+                # the GT map has no coverage), scale-normalized
+                pred = out["depth"]                                 # [h, w]
+                gt = jax.image.resize(batch.ref_depth, pred.shape,
+                                      "bilinear")
+                m = (gt > 0).astype(jnp.float32) * batch.has_depth
+                derr = (jnp.abs(pred - gt) * m).sum() / jnp.maximum(
+                    m.sum(), 1.0) / (batch.far - batch.near)
+                loss = loss + cfg.lambda_depth * derr
             return loss, l1
 
         (loss, l1), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)

@@ -93,6 +93,41 @@ def _cumprod_lanes(x):
     return y, excl
 
 
+def _cumsum_lanes_fast(x, strict: bool):
+    """Lane prefix sum via ONE triangular MXU matmul (fast-math mode).
+
+    Mosaic feeds the MXU bf16 regardless of the precision flag, so inputs
+    carry ~0.4% relative rounding (accumulation is f32) — the documented
+    accuracy trade of RasterConfig.fast_math. ~0.5 µs of MXU time replaces
+    the 21-op VPU scan per [512, 128] chunk (PROFILE_FLOOR.md census)."""
+    ck = x.shape[1]
+    cum = jax.lax.dot(x, _tri_ones(ck, strict=False),
+                      preferred_element_type=jnp.float32)
+    if strict:
+        return cum - x
+    return cum
+
+
+def _cumprod_lanes_fast(x):
+    """(inclusive, exclusive) lane prefix products in log space via the MXU
+    (fast-math mode).
+
+    x = 1 − α is bounded to [0.01, 1] (α ≤ 0.99 clamp; masked lanes exactly
+    1.0 → log exactly 0), so log is well-conditioned. bf16 input rounding of
+    the log terms bounds the relative T error at ~Σ|log x|·0.4% ≤ ~4e-2 at
+    the T = 1e-4 termination depth, typically ~1e-3 — include-mask flips on
+    borderline entries shift pixels by up to ~1e-3, which is above the exact
+    mode's ≤2e-4 oracle bound but photometrically irrelevant; the training
+    impact is validated empirically (fast-mode hardware run, BASELINE.md).
+    The exclusive product is recovered exactly as incl/x (x ≥ 0.01)."""
+    ck = x.shape[1]
+    lx = jnp.log(x)
+    cum = jax.lax.dot(lx, _tri_ones(ck, strict=False),
+                      preferred_element_type=jnp.float32)
+    incl = jnp.exp(cum)
+    return incl, incl / x
+
+
 def _chunk_include(alpha, contrib, t_mono, t_fin):
     """Shared fwd/bwd chunk logic: per-entry include mask + transmittances.
 
@@ -117,16 +152,20 @@ def _chunk_include(alpha, contrib, t_mono, t_fin):
     return include, t_excl, t_mono_out, t_fin_out
 
 
-def _chunk_include_lanes(alpha, contrib, t_mono):
+def _chunk_include_lanes(alpha, contrib, t_mono, fast: bool = False):
     """Per-lane core of :func:`_chunk_include`, no ``t_fin`` lane reduction.
 
     Returns (include [P,CK], t_excl [P,CK], t_incl [P,CK], t_mono_out [P,1]).
     Callers that track final transmittance lane-wise (stream fwd kernel) fold
     ``where(include, t_incl, inf)`` into a deferred min; callers that have the
     saved t_fin (stream bwd kernel) skip the reduction entirely.
+
+    ``fast``: MXU log-space cumprod instead of the exact VPU scan — see
+    :func:`_cumprod_lanes_fast` for the accuracy contract.
     """
     one_minus = jnp.where(contrib, 1.0 - alpha, 1.0)
-    incl, excl = _cumprod_lanes(one_minus)
+    cumprod = _cumprod_lanes_fast if fast else _cumprod_lanes
+    incl, excl = cumprod(one_minus)
     t_incl = t_mono * incl
     include = contrib & (t_incl >= 1e-4)
     t_excl = t_mono * excl

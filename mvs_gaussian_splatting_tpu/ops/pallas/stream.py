@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import _chunk_include_lanes, _cumsum_lanes
+from .composite import (_chunk_include_lanes, _cumsum_lanes,
+                        _cumsum_lanes_fast)
 
 CHUNK = 128
 ROWS = 16
@@ -86,7 +87,7 @@ def _seg_meta(start_ref, count_ref, t):
 def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
                        out_ref, tfin_ref, buf, sem, *,
                        tiles_x: int, tile_w: int, tile_h: int,
-                       tile_batch: int):
+                       tile_batch: int, fast: bool = False):
     p = tile_w * tile_h
     pid = pl.program_id(0)
 
@@ -149,7 +150,7 @@ def _stream_fwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
             _, _, _, alpha, contrib, _ = _chunk_terms(
                 buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
             include, t_excl, t_incl, t_mono = _chunk_include_lanes(
-                alpha, contrib, t_mono)
+                alpha, contrib, t_mono, fast)
             w = jnp.where(include, alpha * t_excl, 0.0)          # [P, CK]
             rgb_t = buf[slot][6:9, :]                             # [3, CK]
             # Deferred accumulation: keep per-lane partial sums (and the
@@ -217,7 +218,7 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
                        out_ref, tfin_ref, gout_ref, gtfin_ref, gattrs_ref,
                        buf, gbuf, gprev, sem, gsem, psem, *,
                        tiles_x: int, tile_w: int, tile_h: int,
-                       tile_batch: int):
+                       tile_batch: int, fast: bool = False):
     p = tile_w * tile_h
     pid = pl.program_id(0)
 
@@ -249,7 +250,7 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
                          buf, gbuf, gprev, sem, gsem, psem,
                          px, py, off, base, n_chunks, count,
                          g_out, t_fin, g_tfin_ext, g_dot_out, p,
-                         s, issue_next, nbase)
+                         s, issue_next, nbase, fast)
 
     jax.lax.fori_loop(0, tile_batch, one_tile, jnp.int32(0))
 
@@ -258,7 +259,7 @@ def _bwd_tile(attrs_ref, gattrs_ref,
               buf, gbuf, gprev, sem, gsem, psem,
               px, py, off, base, n_chunks, count,
               g_out, t_fin, g_tfin_ext, g_dot_out, p,
-              s, issue_next, nbase):
+              s, issue_next, nbase, fast: bool = False):
     def dma_in_at(b_, c, slot):
         return pltpu.make_async_copy(
             attrs_ref.at[:, pl.ds(b_ + c * CHUNK, CHUNK)],
@@ -313,7 +314,7 @@ def _bwd_tile(attrs_ref, gattrs_ref,
             buf[slot], off - c * CHUNK, off + count - c * CHUNK, px, py)
         # t_fin is saved from the forward; skip its lane reduction entirely.
         include, t_excl, _, t_new = _chunk_include_lanes(alpha, contrib,
-                                                         t_mono)
+                                                         t_mono, fast)
         w = jnp.where(include, alpha * t_excl, 0.0)
         rgb_t = buf[slot][6:9, :]                              # [3, CK]
 
@@ -326,7 +327,8 @@ def _bwd_tile(attrs_ref, gattrs_ref,
                         for c in range(3))
         one_minus = jnp.where(include, 1.0 - alpha, 1.0)
         wg = w * g_dot_rgb
-        cums = _cumsum_lanes(wg, strict=False) + prefix
+        cumsum = _cumsum_lanes_fast if fast else _cumsum_lanes
+        cums = cumsum(wg, strict=False) + prefix
         g_dot_S = g_dot_out - cums
         dalpha = jnp.where(
             include,
@@ -418,11 +420,12 @@ def _bwd_tile(attrs_ref, gattrs_ref,
     return (s + c_end) & 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def composite_stream(attrs, seg_start, counts, bg, tile_ids,
                      tiles_x: int, tile_w: int, tile_h: int,
                      interpret: bool = False,
-                     exact_grad_mask: bool = False):
+                     exact_grad_mask: bool = False,
+                     fast: bool = False):
     """attrs [16, CAP + CHUNK] packed rows (tile-sorted instances, segment-
     direct); seg_start/counts [T] (arbitrary offsets); bg [3];
     tile_ids [T] i32 GLOBAL tile id per local tile (pixel-grid indirection —
@@ -434,9 +437,13 @@ def composite_stream(attrs, seg_start, counts, bg, tile_ids,
     contiguous span [first, last). Required when this call's tiles are NOT
     a contiguous range of the stream — e.g. round-robin tile sharding —
     where the span would keep uninitialized gradient memory belonging to
-    other shards' segments."""
+    other shards' segments.
+
+    ``fast``: MXU log-space transmittance scans (RasterConfig.fast_math) —
+    ~30% kernel-time cut for ~1e-3 pixel error; see composite.py
+    _cumprod_lanes_fast for the accuracy contract."""
     return _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
-                            tile_w, tile_h, interpret)
+                            tile_w, tile_h, interpret, fast)
 
 
 def _pad_tiles(seg_start, counts, tile_ids, tb: int):
@@ -453,14 +460,15 @@ def _pad_tiles(seg_start, counts, tile_ids, tb: int):
 
 
 def _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
-                     tile_w, tile_h, interpret):
+                     tile_w, tile_h, interpret, fast: bool = False):
     t = seg_start.shape[0]
     p = tile_w * tile_h
     tb = TILE_BATCH
     seg_start_p, counts_p, ids_p, t_pad = _pad_tiles(seg_start, counts,
                                                      tile_ids, tb)
     kernel = functools.partial(_stream_fwd_kernel, tiles_x=tiles_x,
-                               tile_w=tile_w, tile_h=tile_h, tile_batch=tb)
+                               tile_w=tile_w, tile_h=tile_h, tile_batch=tb,
+                               fast=fast)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_pad // tb,),
@@ -492,14 +500,14 @@ def _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids, tiles_x,
 
 
 def _stream_vjp_fwd(attrs, seg_start, counts, bg, tile_ids, tiles_x, tile_w,
-                    tile_h, interpret, exact_grad_mask):
+                    tile_h, interpret, exact_grad_mask, fast):
     out, tfin = _stream_fwd_impl(attrs, seg_start, counts, bg, tile_ids,
-                                 tiles_x, tile_w, tile_h, interpret)
+                                 tiles_x, tile_w, tile_h, interpret, fast)
     return (out, tfin), (attrs, seg_start, counts, bg, tile_ids, out, tfin)
 
 
 def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, exact_grad_mask,
-                    res, cts):
+                    fast, res, cts):
     attrs, seg_start, counts, bg, tile_ids, out, tfin = res
     g_out, g_tfin = cts
     t = seg_start.shape[0]
@@ -513,7 +521,8 @@ def _stream_vjp_bwd(tiles_x, tile_w, tile_h, interpret, exact_grad_mask,
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)) if pad else x
 
     kernel = functools.partial(_stream_bwd_kernel, tiles_x=tiles_x,
-                               tile_w=tile_w, tile_h=tile_h, tile_batch=tb)
+                               tile_w=tile_w, tile_h=tile_h, tile_batch=tb,
+                               fast=fast)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_pad // tb,),

@@ -44,6 +44,11 @@ class RasterConfig(NamedTuple):
     # () = flat budget. Shortfall is reported in overflow_tiles.
     tier_budgets: tuple = (4, 12)
     tier_fracs: tuple = (0.25, 0.1)
+    # Fast-math compositing (stream backend): MXU log-space transmittance
+    # scans instead of the exact VPU prefix scan. ~30% kernel-time cut for
+    # ~1e-3 pixel error (above the 2e-4 oracle-parity bound — training
+    # impact validated on hardware, BASELINE.md). Keep False for eval/oracle.
+    fast_math: bool = False
 
 
 def _tile_pixel_grid(tile_ids, tiles_x: int, tile_w: int, tile_h: int):
@@ -107,7 +112,7 @@ def _rasterize_stream(processed: Processed, image_width: int,
     tiles_out, final_T = composite_stream(
         attrs, bins.seg_start, bins.counts, bg_color,
         jnp.arange(num_tiles, dtype=jnp.int32), tiles_x, tile_w, tile_h,
-        interpret)
+        interpret, False, config.fast_math)
     return assemble_stream_output(tiles_out, final_T, bins, processed,
                                   tiles_x, tiles_y, tile_w, tile_h,
                                   image_width, image_height)

@@ -175,7 +175,7 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
             tile_ids = d_idx * t_per + tile_range
         out, final_t = composite_stream(
             merged.T, seg_start, counts, bg, tile_ids, tiles_x, tile_w,
-            tile_h, interpret)
+            tile_h, interpret, False, config.fast_math)
         stats = jnp.stack([jnp.asarray(bins.overflow_tiles, jnp.int32),
                            jnp.asarray(bins.overflow_capacity, jnp.int32),
                            overflow_quota.astype(jnp.int32)])

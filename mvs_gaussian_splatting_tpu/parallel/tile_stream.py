@@ -58,7 +58,7 @@ def make_tile_sharded_stream(mesh: Mesh, axis: str, image_width: int,
     def local_composite(attrs, seg_start, counts, tile_ids, bg):
         out, fT = composite_stream(attrs, seg_start, counts, bg, tile_ids,
                                    tiles_x, tile_w, tile_h, interpret,
-                                   round_robin)
+                                   round_robin, config.fast_math)
         return out, fT
 
     sharded = jax.shard_map(

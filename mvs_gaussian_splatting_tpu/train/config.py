@@ -57,6 +57,18 @@ class PipelineConfig:
     max_tiles_per_gaussian: int = 128
     tile_batch: int = 128
     spec_capacity: int = 4096        # speculation-block slots (grow mode)
+    fast_math: bool = False          # MXU log-space compositing scans (train
+                                     # speed / ~1e-3 pixel error trade)
+    # Stream-binning tiered tile budgets (RasterConfig.tier_budgets): every
+    # Gaussian gets budgets[0] tile slots, the largest fracs[i]*N by rect
+    # area get budgets[i+1], the top fracs[-1]*N the full
+    # max_tiles_per_gaussian. The top tier must be generous: a splat whose
+    # footprint exceeds its budget renders as a partial patch AND has its
+    # densification gradient diluted by the unrendered fraction, so the
+    # split/prune machinery stops seeing exactly the splats that most need
+    # it (observed as early-training bloat in the validation runs).
+    tier_budgets: tuple = (4, 12)
+    tier_fracs: tuple = (0.25, 0.1)
 
 
 @dataclass

@@ -40,7 +40,10 @@ def raster_config_from_pipe(pipe: PipelineConfig) -> RasterConfig:
                         tile_w=pipe.tile_w, tile_h=pipe.tile_h,
                         tile_capacity=pipe.tile_capacity,
                         max_tiles_per_gaussian=pipe.max_tiles_per_gaussian,
-                        tile_batch=pipe.tile_batch)
+                        tile_batch=pipe.tile_batch,
+                        fast_math=pipe.fast_math,
+                        tier_budgets=tuple(pipe.tier_budgets),
+                        tier_fracs=tuple(pipe.tier_fracs))
 
 
 def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
@@ -84,8 +87,11 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         log_fn(f"Number of points at initialisation : {n0} (capacity {capacity})")
 
     train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
-    eval_render = make_eval_render(raster_cfg)
-    eval_metrics = make_eval_metrics(raster_cfg)
+    # evaluation always composites in exact mode: fast_math is a train-time
+    # speed/accuracy trade and must not touch reported metrics
+    eval_cfg = raster_cfg._replace(fast_math=False)
+    eval_render = make_eval_render(eval_cfg)
+    eval_metrics = make_eval_metrics(eval_cfg)
     render_n = _render_bucket(int(num_alive(aux)), params.xyz.shape[0])
     # measured-load instance-cap bucket (stream backend only): 0 = the
     # a-priori auto heuristic; re-bucketed from metrics.instance_load at
@@ -327,6 +333,12 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 if int(info["n_dropped"]) > 0:
                     log_fn(f"[ITER {iteration}] WARNING: {int(info['n_dropped'])} "
                            "densification slots dropped (capacity starved)")
+                if iteration % 500 == 0:
+                    log_fn(f"[ITER {iteration}] densify: "
+                           f"+{int(info['n_cloned'])} clone "
+                           f"+{int(info['n_split'])} split "
+                           f"-{int(info['n_pruned'])} prune "
+                           f"→ {int(info['n_alive'])} alive")
                 # keep alive slots a prefix so the render slice stays valid,
                 # then re-bucket the static render length
                 params, mu, nu, aux = compact_jit(params, adam.mu, adam.nu,

@@ -167,8 +167,39 @@ def main():
             jax.block_until_ready(holder["x"])
         return run
 
+    # ---- tile-parallel TRAIN step: strong scaling at fixed image ---------
+    # (round-3: the full train step — loss, psum'd backward, Adam, stats —
+    # with one camera's tiles sharded; the path to the per-host 1080p
+    # north star that camera-DP can't reach)
+    from mvs_gaussian_splatting_tpu.parallel.tile_train import (
+        make_tile_train_step)
+
+    def tile_train_factory(n_dev):
+        w, h = 256, 256                   # fixed frame: strong scaling
+        mesh = make_mesh(n_dev, axes=("tile",))
+        step, place_t = make_tile_train_step(opt_cfg, raster_cfg, 1.0, mesh,
+                                             interpret=interp)
+        cam = graft._camera(w, h)
+        gt = jnp.zeros((3, h, w)) + 0.5
+        params_c = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        adam_c = jax.tree.map(lambda x: jnp.array(x, copy=True), adam)
+        aux_c = jax.tree.map(lambda x: jnp.array(x, copy=True), aux)
+        p0, a0, x0, b_cam, b_gt, b_bg = place_t(params_c, adam_c, aux_c, cam,
+                                                gt, jnp.zeros(3))
+        holder = {"s": (p0, a0, x0)}
+
+        def run():
+            pp, aa, xx = holder["s"]
+            p2, a2, x2, m = step(pp, aa, xx, b_cam, b_gt, b_bg, jnp.int32(1),
+                                 jnp.asarray(False), width=w, height=h,
+                                 sh_degree=0)
+            holder["s"] = (p2, a2, x2)
+            jax.block_until_ready(m)
+        return run
+
     tile_results = measure_scaling(tile_factory, iters=3)
     gauss_results = measure_scaling(gauss_factory, iters=3)
+    tile_train_results = measure_scaling(tile_train_factory, iters=3)
 
     # ---- compile-only check at 1080p shapes over the full mesh ----------
     # regress-tests that the sharded 1080p programs keep compiling; no
@@ -201,6 +232,7 @@ def main():
         "camera_dp": results,
         "tile_sharded_stream": tile_results,
         "gauss_sharded_stream": gauss_results,
+        "tile_parallel_train_step": tile_train_results,
         "compile_only_1080p_tile_sharded": compile_1080p,
         "note": ("efficiency is meaningful on real multi-chip hardware only; "
                  "virtual host-platform devices share one CPU and weak-scale "

@@ -279,9 +279,16 @@ def main():
                                  max_capacity=args.max_capacity,
                                  growdirs_lr=args.growdirs_lr)
     # 32x16 tiles: the measured-fastest stream config at ~1080p on v5e
-    # (PROFILE_FLOOR.md); the 16x16 default costs ~40% more tile instances
+    # (PROFILE_FLOOR.md); the 16x16 default costs ~40% more tile instances.
+    # Generous top tile-budget tier: with the old flat max of 32, an early-
+    # training bloated splat covering ~2000 tiles rendered as a 32-tile patch
+    # with a ~60x-diluted densification gradient — the split/prune machinery
+    # stopped seeing exactly the splats that most needed it (the 1000-3000
+    # loss climb + iter-3000 collapse in runs/refscale{,2}).
     pipe_cfg = PipelineConfig(tile_w=32, tile_h=16,
-                              max_tiles_per_gaussian=32)
+                              max_tiles_per_gaussian=512,
+                              tier_budgets=(4, 12, 64),
+                              tier_fracs=(0.25, 0.1, 0.01))
     start_checkpoint = ""
     if args.resume:
         import glob

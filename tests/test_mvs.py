@@ -308,3 +308,62 @@ class TestMVSTraining:
         assert last_loss < 0.7 * first_loss, f"no learning: {losses}"
         assert evals[max(evals)] > 16.0, f"PSNR too low: {evals}"
         assert evals[max(evals)] >= evals[min(evals)], f"regressed: {evals}"
+
+    def test_generalizes_to_held_out_scene(self):
+        """The generalizable claim proper: train on several DISTINCT scenes,
+        evaluate on groups of a scene never seen in training (not just a
+        held-out view of a training scene)."""
+        from mvs_gaussian_splatting_tpu.mvs.dataset import make_synthetic_scenes
+        from mvs_gaussian_splatting_tpu.mvs.train import MVSConfig, train_mvs
+
+        scenes = make_synthetic_scenes(n_scenes=4, groups_per_scene=2,
+                                       width=64, height=48, n_gauss=200,
+                                       seed=5)
+        train_groups = [g for sc in scenes[1:] for g in sc]
+        cfg = MVSConfig(iterations=200, lr=2e-3, num_depths=12,
+                        eval_every=100, backend="jnp", seed=0,
+                        feat_dims=(8, 16, 16))
+        _, history = train_mvs(cfg, train_groups, eval_groups=scenes[0],
+                               log_fn=lambda s: None)
+        evals = history["psnr_eval"]
+        # unseen-scene PSNR must be clearly above garbage and not collapse
+        # (measured: 17.0 @100 -> 17.5 @200; garbage init renders ~8-11 dB)
+        assert evals[max(evals)] > 15.0, f"held-out scene PSNR: {evals}"
+        assert evals[max(evals)] >= evals[min(evals)] - 0.5, evals
+
+    def test_depth_supervision_improves_depth(self):
+        """lambda_depth pulls the cost-volume expected depth toward the
+        fixture's rendered GT depth map on the reference view."""
+        import jax
+        import jax.numpy as jnp
+
+        from mvs_gaussian_splatting_tpu.mvs.dataset import make_synthetic_groups
+        from mvs_gaussian_splatting_tpu.mvs.train import (MVSConfig,
+                                                          group_to_batch,
+                                                          train_mvs)
+        from mvs_gaussian_splatting_tpu.mvs.model import MVSGaussianModel
+
+        groups = make_synthetic_groups(n_groups=3, width=64, height=48,
+                                       n_gauss=200, seed=7)
+        assert groups[0].ref.depth is not None
+        assert (groups[0].ref.depth > 0).mean() > 0.3   # real coverage
+
+        def depth_err(variables, cfg):
+            model = MVSGaussianModel(num_depths=cfg.num_depths,
+                                     feat_dims=cfg.feat_dims)
+            b = group_to_batch(groups[0])
+            out = model.apply(variables, b.ref_image, b.src_images,
+                              b.k_ref_feat, b.k_src_feats, b.rel_rs,
+                              b.rel_ts, b.near, b.far)
+            gt = jax.image.resize(b.ref_depth, out["depth"].shape, "bilinear")
+            m = gt > 0
+            return float(jnp.abs(out["depth"] - gt)[m].mean())
+
+        kw = dict(iterations=120, lr=2e-3, num_depths=12, eval_every=120,
+                  backend="jnp", seed=0, feat_dims=(8, 16, 16))
+        cfg_no = MVSConfig(lambda_depth=0.0, **kw)
+        cfg_d = MVSConfig(lambda_depth=1.0, **kw)
+        v_no, _ = train_mvs(cfg_no, groups, log_fn=lambda s: None)
+        v_d, _ = train_mvs(cfg_d, groups, log_fn=lambda s: None)
+        e_no, e_d = depth_err(v_no, cfg_no), depth_err(v_d, cfg_d)
+        assert e_d < e_no, (e_no, e_d)
