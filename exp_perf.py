@@ -119,3 +119,69 @@ if "batch" in sections:
         print(f"TILE_BATCH={tb:2d}: kernel fwd {t:7.2f} ms   "
               f"fwd+bwd {tg:7.2f} ms")
     st.TILE_BATCH = 8
+
+
+# ---------------------------------------------------------------------------
+# unsort: candidate replacements for the backward's CAP-row scatter-add
+# (PROFILE_FLOOR.md "fused segment-reduce" headroom item). Run on hardware:
+#   python exp_perf.py unsort
+# ---------------------------------------------------------------------------
+if "unsort" in sections:
+    rng = np.random.RandomState(0)
+    ranks = jnp.asarray(rng.randint(0, N, CAP).astype(np.int32))
+    g_rows = jnp.asarray(rng.randn(CAP, 16).astype(np.float32))
+
+    def scatter_add(eps):
+        g = g_rows + eps
+        return jnp.zeros((N, 16)).at[ranks].add(g)
+
+    print("unsort/scatter-add [CAP,16]→[N,16]:",
+          round(timeit(jax.jit(scatter_add)), 2), "ms")
+
+    def sort_gather_cumsum(eps):
+        g = g_rows + eps
+        # rank-major order via a 2-array sort, then gather rows, then a
+        # cumsum-diff segment sum (NB: cancellation-lossy — timing probe only)
+        sr, pos = jax.lax.sort((ranks, jnp.arange(CAP, dtype=jnp.int32)),
+                               num_keys=1, is_stable=False)
+        gs = g[pos]
+        cs = jnp.cumsum(gs, axis=0)
+        ends = jnp.searchsorted(sr, jnp.arange(N, dtype=jnp.int32),
+                                side="right").astype(jnp.int32)
+        csz = jnp.concatenate([jnp.zeros((1, 16)), cs], 0)
+        return csz[ends] - csz[jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), ends[:-1]])]
+
+    print("unsort/sort+gather+cumsumdiff:",
+          round(timeit(jax.jit(sort_gather_cumsum)), 2), "ms")
+
+    def just_sort(eps):
+        sr, pos = jax.lax.sort((ranks + jnp.int32(0 * eps),
+                                jnp.arange(CAP, dtype=jnp.int32)),
+                               num_keys=1, is_stable=False)
+        return pos
+
+    print("unsort/rank-sort alone:", round(timeit(jax.jit(just_sort)), 2),
+          "ms")
+
+    def just_gather(eps):
+        g = g_rows + eps
+        return g[ranks]
+
+    print("unsort/CAP-row gather alone:",
+          round(timeit(jax.jit(just_gather)), 2), "ms")
+
+    def seg_sum_presorted(eps):
+        # segment-sum when rows are ALREADY rank-sorted (kernel-side cost
+        # model): cumsum + boundary gather only
+        g = g_rows + eps
+        cs = jnp.cumsum(g, axis=0)
+        ends = jnp.searchsorted(jnp.sort(ranks),
+                                jnp.arange(N, dtype=jnp.int32),
+                                side="right").astype(jnp.int32)
+        csz = jnp.concatenate([jnp.zeros((1, 16)), cs], 0)
+        return csz[ends] - csz[jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), ends[:-1]])]
+
+    print("unsort/segsum-presorted (cumsum+gather):",
+          round(timeit(jax.jit(seg_sum_presorted)), 2), "ms")

@@ -177,8 +177,10 @@ def main():
     def tile_train_factory(n_dev):
         w, h = 256, 256                   # fixed frame: strong scaling
         mesh = make_mesh(n_dev, axes=("tile",))
-        step, place_t = make_tile_train_step(opt_cfg, raster_cfg, 1.0, mesh,
-                                             interpret=interp)
+        # the tile-sharded composite is the stream path (interpret off-TPU)
+        step, place_t = make_tile_train_step(
+            opt_cfg, raster_cfg._replace(backend="stream"), 1.0, mesh,
+            interpret=interp)
         cam = graft._camera(w, h)
         gt = jnp.zeros((3, h, w)) + 0.5
         params_c = jax.tree.map(lambda x: jnp.array(x, copy=True), params)

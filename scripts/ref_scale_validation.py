@@ -236,6 +236,10 @@ def main():
     ap.add_argument("--divergence_psnr_drop", type=float, default=3.0,
                     help="abort+checkpoint when test PSNR sits this many dB "
                          "below its best for 3 consecutive evals (0=off)")
+    ap.add_argument("--fast", action="store_true",
+                    help="train with fast_math compositing (evals stay "
+                         "exact) — the PSNR-impact validation for the "
+                         "RasterConfig.fast_math speed/accuracy trade")
     args = ap.parse_args()
     if args.smoke:
         args.width, args.height = 160, 120
@@ -288,7 +292,8 @@ def main():
     pipe_cfg = PipelineConfig(tile_w=32, tile_h=16,
                               max_tiles_per_gaussian=512,
                               tier_budgets=(4, 12, 64),
-                              tier_fracs=(0.25, 0.1, 0.01))
+                              tier_fracs=(0.25, 0.1, 0.01),
+                              fast_math=args.fast)
     start_checkpoint = ""
     if args.resume:
         import glob
