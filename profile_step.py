@@ -20,11 +20,12 @@ from mvs_gaussian_splatting_tpu.utils.transforms import normalize
 W, H = 1920, 1088
 N = 200_000
 cfg = RasterConfig(tile_w=32, tile_h=16, tile_capacity=1024,
-                   max_tiles_per_gaussian=32, tile_batch=256, backend="stream")
+                   max_tiles_per_gaussian=32, tile_batch=256, backend="stream",
+                   fast_math="--fast" in sys.argv)
 from mvs_gaussian_splatting_tpu.ops.binning import auto_instance_cap
 CAP = auto_instance_cap(N, cfg.max_tiles_per_gaussian, cfg.tile_w,
                         cfg.tile_h, cfg.tier_budgets, cfg.tier_fracs)
-if len(sys.argv) > 1 and sys.argv[1] != "auto":
+if len(sys.argv) > 1 and sys.argv[1] not in ("auto", "--fast"):
     CAP = int(sys.argv[1])
     cfg = cfg._replace(instance_cap=CAP)
 cam, (means, log_scales, quats, opac_logit, shs) = build_scene(N, W, H)
@@ -77,14 +78,14 @@ jax.block_until_ready(attrs)
 tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
 fwdk = jax.jit(lambda eps: composite_stream(
     attrs + eps, bins.seg_start, bins.counts, bg, tile_ids, tiles_x,
-    cfg.tile_w, cfg.tile_h, False))
+    cfg.tile_w, cfg.tile_h, False, False, cfg.fast_math))
 t_fwdk = timeit(fwdk)
 
 # kernel fwd+bwd (isolated custom vjp)
 def loss_k(a):
     out, tfin = composite_stream(a, bins.seg_start, bins.counts, bg,
                                  tile_ids, tiles_x, cfg.tile_w, cfg.tile_h,
-                                 False)
+                                 False, False, cfg.fast_math)
     return out.mean()
 gradk = jax.jit(lambda eps: jax.grad(loss_k)(attrs + eps))
 t_gradk = timeit(gradk)
