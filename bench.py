@@ -69,7 +69,10 @@ def main():
 
     width, height = 1920, 1088
     n = 200_000
-    fast = "--fast" in sys.argv
+    # fast_math is the production TRAIN default since round 3 (PSNR-validated
+    # at reference scale, runs/fastval); bench the step users actually run.
+    # --exact restores the exact-compositing measurement (104.3 ms baseline).
+    fast = "--exact" not in sys.argv
     backend = "stream" if jax.default_backend() == "tpu" else "jnp"
     tile_w, tile_h = (32, 16) if backend == "stream" else (16, 16)
     cfg = RasterConfig(tile_w=tile_w, tile_h=tile_h, tile_capacity=1024,

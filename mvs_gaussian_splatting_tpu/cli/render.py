@@ -82,7 +82,9 @@ def main(argv=None):
                        f"iteration_{iteration}", "point_cloud.ply")
     params = params_from_ply(ply, model_cfg.sh_degree)
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
-    raster_cfg = raster_config_from_pipe(pipe_cfg)
+    # offline rendering is an EVAL surface: always exact compositing,
+    # whatever the training-side fast_math default says
+    raster_cfg = raster_config_from_pipe(pipe_cfg)._replace(fast_math=False)
 
     if not args.skip_train:
         render_set(model_cfg.model_path, "train", iteration,

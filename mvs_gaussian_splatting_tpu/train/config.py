@@ -57,8 +57,14 @@ class PipelineConfig:
     max_tiles_per_gaussian: int = 128
     tile_batch: int = 128
     spec_capacity: int = 4096        # speculation-block slots (grow mode)
-    fast_math: bool = False          # MXU log-space compositing scans (train
-                                     # speed / ~1e-3 pixel error trade)
+    # MXU log-space compositing scans: the TRAIN default since round 3 —
+    # 12.26 vs 9.59 steps/s at 1080p with reference-scale PSNR within noise
+    # of exact (runs/fastval vs runs/refscale3: 19.89/21.74/22.64/23.21 vs
+    # 19.87/21.74/22.58/23.18 at 1K/3K/5K/7K). Evaluation and the offline
+    # render/metrics pipeline always composite exact (train/loop.py eval_cfg,
+    # cli/render.py). --no-fast_math / fast_math=False restores exact
+    # training.
+    fast_math: bool = True
     # Stream-binning tiered tile budgets (RasterConfig.tier_budgets): every
     # Gaussian gets budgets[0] tile slots, the largest fracs[i]*N by rect
     # area get budgets[i+1], the top fracs[-1]*N the full

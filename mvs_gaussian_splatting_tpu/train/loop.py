@@ -558,18 +558,27 @@ def _pad_tree(tree, new_capacity: int):
 
 
 def evaluate_split(eval_metrics, params, aux, cameras, bg, sh_degree,
-                   render_n: int = 0):
-    """(mean L1, mean PSNR) over a camera list with ONE host transfer.
+                   render_n: int = 0, chunk: int = 5):
+    """(mean L1, mean PSNR) over a camera list with few host transfers.
 
     Each view's render+metrics dispatches asynchronously to device scalars;
-    the single jax.device_get at the end fetches the whole stack — on a
-    tunneled device this replaces dozens of per-image round trips."""
-    vals = [eval_metrics(params, aux.alive, cam.view(), cam.device_image(),
+    fetching only every ``chunk`` views bounds the number of renders in
+    flight — a full-set async burst held ~15 concurrent instance tables and
+    OOM'd the grow-mode reference-scale run at eval time — while still
+    amortizing the tunneled-device round trip (3 fetches for a 15-view set
+    instead of 15)."""
+    host = []
+    pending = []
+    for cam in cameras:
+        pending.append(
+            eval_metrics(params, aux.alive, cam.view(), cam.device_image(),
                          bg, width=cam.image.shape[2],
                          height=cam.image.shape[1],
-                         sh_degree=sh_degree, render_n=render_n)
-            for cam in cameras]
-    host = jax.device_get(vals)
+                         sh_degree=sh_degree, render_n=render_n))
+        if len(pending) >= chunk:
+            host.extend(jax.device_get(pending))
+            pending = []
+    host.extend(jax.device_get(pending))
     return (float(np.mean([v[0] for v in host])),
             float(np.mean([v[1] for v in host])))
 

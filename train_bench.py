@@ -40,8 +40,9 @@ WORKLOADS = {
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--fast", action="store_true",
-                        help="fast_math compositing (MXU log-space scans)")
+    parser.add_argument("--exact", action="store_true",
+                        help="exact compositing (fast_math is the "
+                             "PSNR-validated train default since round 3)")
     parser.add_argument("--workload", choices=sorted(WORKLOADS),
                         default="fern")
     wargs = parser.parse_args()
@@ -67,7 +68,7 @@ def main():
     tile_w, tile_h = (32, 16) if backend == "stream" else (16, 16)
     cfg = RasterConfig(tile_w=tile_w, tile_h=tile_h, tile_capacity=1024,
                        max_tiles_per_gaussian=32, tile_batch=256,
-                       backend=backend, fast_math=wargs.fast)
+                       backend=backend, fast_math=not wargs.exact)
     cam, (means, log_scales, quats, opac_logit, shs) = build_scene(
         n, width, height)
     params = GaussianParams(xyz=means, f_dc=shs[:, :1], f_rest=shs[:, 1:],
