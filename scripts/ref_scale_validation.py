@@ -33,9 +33,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_gt_scene(n_target: int = 150_000, seed: int = 0):
+def build_gt_scene(n_target: int = 150_000, seed: int = 0,
+                   style: str = "speckle"):
     """Structured GT Gaussian soup: textured ground plane + blob clusters +
-    scattered dust. Returns dict of numpy arrays."""
+    scattered dust. Returns dict of numpy arrays.
+
+    ``style``: "speckle" (round-2 scene — per-point color noise + random
+    colored dust bound achievable PSNR in the low 24s) or "clean" (smooth
+    surfaces, no random dust — measures the trainer's headroom rather than
+    the scene's noise floor)."""
+    clean = style == "clean"
     rng = np.random.RandomState(seed)
     parts = []
 
@@ -53,7 +60,8 @@ def build_gt_scene(n_target: int = 150_000, seed: int = 0):
     col = np.stack([0.25 + 0.5 * checker,
                     0.35 + 0.4 * tex,
                     0.30 + 0.35 * (1 - checker) * tex], -1)
-    col += rng.normal(0, 0.05, col.shape)
+    if not clean:
+        col += rng.normal(0, 0.05, col.shape)
     add(np.stack([gx, gy, gz], -1),
         rng.uniform(0.03, 0.09, (ng, 3)), np.clip(col, 0, 1),
         rng.uniform(0.7, 0.98, ng))
@@ -67,7 +75,9 @@ def build_gt_scene(n_target: int = 150_000, seed: int = 0):
         radius = rng.uniform(0.3, 1.0)
         base = rng.rand(3)
         pts = center + rng.normal(0, radius / 2.2, (nb, 3))
-        col = np.clip(base + 0.35 * np.sin(7.0 * pts[:, :3]), 0, 1)
+        freq = 1.5 if clean else 7.0
+        amp = 0.2 if clean else 0.35
+        col = np.clip(base + amp * np.sin(freq * pts[:, :3]), 0, 1)
         add(pts, rng.uniform(0.02, 0.07, (nb, 3)) * (radius + 0.4), col,
             rng.uniform(0.6, 0.97, nb))
 
@@ -86,12 +96,23 @@ def build_gt_scene(n_target: int = 150_000, seed: int = 0):
     add(sp, rng.uniform(0.25, 0.6, (ns, 3)), np.clip(scol, 0, 1),
         rng.uniform(0.8, 0.99, ns))
 
-    # dust
+    # dust (random-colored in speckle style; smooth-colored larger motes in
+    # clean style so the remainder budget still fills the volume coherently)
     nd = n_target - sum(p[0].shape[0] for p in parts)
-    add(np.stack([rng.uniform(-7, 7, nd), rng.uniform(-1.5, 1.4, nd),
-                  rng.uniform(-7, 7, nd)], -1),
-        rng.uniform(0.01, 0.05, (nd, 3)), rng.rand(nd, 3),
-        rng.uniform(0.3, 0.9, nd))
+    dx_ = rng.uniform(-7, 7, nd)
+    dz_ = rng.uniform(-7, 7, nd)
+    dy_ = rng.uniform(-1.5, 1.4, nd)
+    if clean:
+        dcol = np.stack([0.4 + 0.25 * np.sin(0.9 * dx_),
+                         0.45 + 0.25 * np.sin(0.7 * dy_ + 2.0),
+                         0.5 + 0.25 * np.cos(0.8 * dz_)], -1)
+        add(np.stack([dx_, dy_, dz_], -1),
+            rng.uniform(0.04, 0.10, (nd, 3)), np.clip(dcol, 0, 1),
+            rng.uniform(0.6, 0.95, nd))
+    else:
+        add(np.stack([dx_, dy_, dz_], -1),
+            rng.uniform(0.01, 0.05, (nd, 3)), rng.rand(nd, 3),
+            rng.uniform(0.3, 0.9, nd))
 
     xyz = np.concatenate([p[0] for p in parts])
     scale = np.concatenate([p[1] for p in parts])
@@ -126,7 +147,8 @@ def orbit_cameras(n_views: int, width: int, height: int, fovx_deg: float,
 
 
 def write_dataset(out_dir: str, width: int, height: int, n_views: int,
-                  n_gt: int, n_init: int, seed: int, log):
+                  n_gt: int, n_init: int, seed: int, log,
+                  style: str = "speckle"):
     """Render GT views and write a COLMAP-layout dataset."""
     import jax
     import jax.numpy as jnp
@@ -140,7 +162,7 @@ def write_dataset(out_dir: str, width: int, height: int, n_views: int,
     from mvs_gaussian_splatting_tpu.utils import graphics
     from mvs_gaussian_splatting_tpu.utils.transforms import normalize
 
-    gt = build_gt_scene(n_gt, seed)
+    gt = build_gt_scene(n_gt, seed, style=style)
     cams = orbit_cameras(n_views, width, height, 65.0, seed + 1)
     backend = "stream" if jax.default_backend() == "tpu" else "jnp"
     cfg = RasterConfig(tile_w=32 if backend == "stream" else 16, tile_h=16,
@@ -236,6 +258,11 @@ def main():
     ap.add_argument("--divergence_psnr_drop", type=float, default=3.0,
                     help="abort+checkpoint when test PSNR sits this many dB "
                          "below its best for 3 consecutive evals (0=off)")
+    ap.add_argument("--scene_style", choices=("speckle", "clean"),
+                    default="speckle",
+                    help="GT scene flavor: 'speckle' = the round-2 scene "
+                         "(noise-floor-bounded ~24 dB), 'clean' = smooth "
+                         "surfaces measuring trainer headroom")
     ap.add_argument("--fast", action="store_true",
                     help="train with fast_math compositing (evals stay "
                          "exact) — the PSNR-impact validation for the "
@@ -264,7 +291,8 @@ def main():
     dataset = os.path.join(args.out, "dataset")
     if not os.path.exists(os.path.join(dataset, "sparse", "0", "points3D.bin")):
         write_dataset(dataset, args.width, args.height, args.views,
-                      args.gt_points, args.init_points, seed=0, log=log)
+                      args.gt_points, args.init_points, seed=0, log=log,
+                      style=args.scene_style)
 
     from mvs_gaussian_splatting_tpu.train.config import (ModelConfig,
                                                          OptimizationConfig,
