@@ -118,3 +118,18 @@ class TestVisualize:
         visualize.main(["--points", str(tmp_path / "points.txt"),
                         "--out", out])
         assert os.path.getsize(out) > 0
+
+
+def test_render_cli_eval_raster_config_generous_budgets():
+    """Offline render must not clip large splats: the eval raster config
+    upgrades tight training budgets (6.7 dB measured on runs/cleanscale)."""
+    from mvs_gaussian_splatting_tpu.cli.render import eval_raster_config
+    from mvs_gaussian_splatting_tpu.train.config import PipelineConfig
+
+    cfg = eval_raster_config(PipelineConfig())
+    assert cfg.fast_math is False
+    assert cfg.max_tiles_per_gaussian >= 512
+    assert len(cfg.tier_budgets) >= 3
+    # explicit user request for an even larger budget is respected
+    cfg2 = eval_raster_config(PipelineConfig(max_tiles_per_gaussian=1024))
+    assert cfg2.max_tiles_per_gaussian == 1024
