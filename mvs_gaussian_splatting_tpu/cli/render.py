@@ -60,7 +60,10 @@ def eval_raster_config(pipe_cfg, n_gaussians: int = 0):
     cfg = raster_config_from_pipe(pipe_cfg)._replace(fast_math=False)
     if cfg.max_tiles_per_gaussian < 512:
         cfg = cfg._replace(max_tiles_per_gaussian=512)
-    if len(cfg.tier_budgets) < 3:
+    # () is the FLAT layout: every Gaussian already gets the full
+    # max_tiles_per_gaussian budget — more generous than any tiering, so
+    # leave it alone; only widen 1/2-tier layouts whose top tier is tight.
+    if len(cfg.tier_budgets) in (1, 2):
         cfg = cfg._replace(tier_budgets=(4, 12, 64),
                            tier_fracs=(0.25, 0.1, 0.01))
     if n_gaussians:

@@ -163,11 +163,19 @@ def make_mvs_train_step(model: MVSGaussianModel, cfg: MVSConfig,
             if cfg.lambda_depth > 0:
                 # supervise the cost-volume expected depth against the ref
                 # view's GT depth (resized to feature scale, masked where
-                # the GT map has no coverage), scale-normalized
+                # the GT map has no coverage), scale-normalized. The GT map
+                # encodes holes as 0: a bilinear resize of the raw map would
+                # blend those zeros into valid pixels across hole boundaries,
+                # supervising boundary depths toward attenuated values — so
+                # resize the coverage mask separately and keep only pixels
+                # fully inside valid coverage (resized mask ≈ 1).
                 pred = out["depth"]                                 # [h, w]
                 gt = jax.image.resize(batch.ref_depth, pred.shape,
                                       "bilinear")
-                m = (gt > 0).astype(jnp.float32) * batch.has_depth
+                cov = jax.image.resize(
+                    (batch.ref_depth > 0).astype(jnp.float32), pred.shape,
+                    "bilinear")
+                m = (cov >= 0.999).astype(jnp.float32) * batch.has_depth
                 derr = (jnp.abs(pred - gt) * m).sum() / jnp.maximum(
                     m.sum(), 1.0) / (batch.far - batch.near)
                 loss = loss + cfg.lambda_depth * derr

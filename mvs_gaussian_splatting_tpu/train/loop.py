@@ -46,6 +46,17 @@ def raster_config_from_pipe(pipe: PipelineConfig) -> RasterConfig:
                         tier_fracs=tuple(pipe.tier_fracs))
 
 
+def eval_config(raster_cfg: RasterConfig) -> RasterConfig:
+    """The single source of the eval-exactness invariant: every surface that
+    produces user-visible images or reported metrics (in-loop eval sweeps,
+    val-image dumps, the viewer frame path; cli/render goes through
+    eval_raster_config which applies the same rule) composites in EXACT mode.
+    fast_math is a train-time speed/accuracy trade (~1e-3 pixel error,
+    BASELINE.md) and must never contaminate reported PSNR.
+    tests/test_eval_exact.py locks this invariant."""
+    return raster_cfg._replace(fast_math=False)
+
+
 def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
           pipe_cfg: PipelineConfig, run_cfg: TrainRunConfig,
           scene: Optional[Scene] = None,
@@ -87,9 +98,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         log_fn(f"Number of points at initialisation : {n0} (capacity {capacity})")
 
     train_step = make_train_step(opt_cfg, raster_cfg, spatial_lr_scale)
-    # evaluation always composites in exact mode: fast_math is a train-time
-    # speed/accuracy trade and must not touch reported metrics
-    eval_cfg = raster_cfg._replace(fast_math=False)
+    eval_cfg = eval_config(raster_cfg)
     eval_render = make_eval_render(eval_cfg)
     eval_metrics = make_eval_metrics(eval_cfg)
     render_n = _render_bucket(int(num_alive(aux)), params.xyz.shape[0])
@@ -103,7 +112,29 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     batch_step = None
     mesh = None
-    if run_cfg.data_parallel > 0:
+    tile_step = None
+    if run_cfg.data_parallel > 0 and run_cfg.tile_parallel > 0:
+        # 2D mesh: cameras × tiles in ONE train step (round-4, VERDICT #1) —
+        # the "one host's chips cooperate per frame, DP across hosts" shape.
+        # Uses the batch_step slot: same signature as make_batch_train_step.
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+        from ..parallel.grid_train import make_grid_train_step
+        need = run_cfg.data_parallel * run_cfg.tile_parallel
+        devs = jax.devices()
+        if len(devs) < need:
+            raise ValueError(
+                f"grid_parallel needs {need} devices "
+                f"({run_cfg.data_parallel} data × {run_cfg.tile_parallel} "
+                f"tile), have {len(devs)}")
+        mesh = _Mesh(_np.array(devs[:need]).reshape(
+            run_cfg.data_parallel, run_cfg.tile_parallel), ("data", "tile"))
+        batch_step, place_inputs = make_grid_train_step(
+            opt_cfg, raster_cfg, spatial_lr_scale, mesh)
+        log_fn(f"grid-parallel: {run_cfg.data_parallel} cameras/step × "
+               f"{run_cfg.tile_parallel}-way tile sharding "
+               f"({mesh.devices.size} devices)")
+    elif run_cfg.data_parallel > 0:
         from ..parallel.data_parallel import make_batch_train_step
         from ..parallel.mesh import make_mesh
         n_dev = len(jax.devices())
@@ -112,13 +143,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             opt_cfg, raster_cfg, spatial_lr_scale, mesh)
         log_fn(f"data-parallel: {run_cfg.data_parallel} cameras/step over "
                f"{mesh.devices.size} device(s)")
-
-    tile_step = None
-    if run_cfg.tile_parallel > 0:
-        if run_cfg.data_parallel > 0:
-            raise ValueError("tile_parallel and data_parallel are exclusive "
-                             "train modes (a 2D mesh composition is future "
-                             "work)")
+    elif run_cfg.tile_parallel > 0:
         from ..parallel.mesh import make_mesh
         from ..parallel.tile_train import make_tile_train_step
         n_dev = len(jax.devices())
@@ -127,6 +152,19 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             opt_cfg, raster_cfg, spatial_lr_scale, t_mesh)
         log_fn(f"tile-parallel: 1 camera/step, tiles sharded over "
                f"{t_mesh.devices.size} device(s)")
+    elif run_cfg.gauss_parallel > 0:
+        # primitive-sharded training (round 4, VERDICT #3): params/Adam/aux
+        # live N/D per device; uses the tile_step slot (same signature)
+        from ..parallel.mesh import make_mesh
+        from ..parallel.gauss_train import make_gauss_train_step
+        n_dev = len(jax.devices())
+        g_mesh = make_mesh(min(n_dev, run_cfg.gauss_parallel),
+                           axes=("gauss",))
+        tile_step, tile_place = make_gauss_train_step(
+            opt_cfg, raster_cfg, spatial_lr_scale, g_mesh)
+        log_fn(f"gauss-parallel: params sharded over "
+               f"{g_mesh.devices.size} device(s), one all_to_all "
+               f"instance exchange per step")
 
     grow_cfg = None
     sphere_dirs = None
@@ -194,7 +232,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if PROFILE_DIR and iteration == _PROFILE_WINDOW[1]:
             jax.profiler.stop_trace()
             log_fn(f"[ITER {iteration}] profiler trace written to {PROFILE_DIR}")
-        _gui_pump(model_cfg, params, aux, raster_cfg, active_sh, iteration,
+        _gui_pump(model_cfg, params, aux, eval_cfg, active_sh, iteration,
                   opt_cfg.iterations)
         if iteration % 1000 == 0 and active_sh < model_cfg.sh_degree:
             active_sh += 1

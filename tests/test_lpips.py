@@ -118,3 +118,46 @@ def test_lpips_golden_value(tmp_path):
     assert float(m(img1, img2)) == pytest.approx(0.04927491024136543,
                                                  abs=2e-6)
     assert float(m(img1, img1)) == 0.0
+
+
+def test_lpips_real_weights_probe_pair():
+    """Drop-in verification for REAL weight arrival (VERDICT r3 item #9):
+    with $LPIPS_WEIGHTS_NPZ pointing at converted torchvision VGG16 + LPIPS
+    v0.1 linear heads, the committed probe pair must reproduce the pinned
+    value in eval/expected_values.py. First run on a weights-bearing machine
+    pins it (the test prints the value to record); afterwards it is a
+    cross-machine implementation + weight-conversion check. Skips gracefully
+    in this zero-egress container."""
+    import os
+
+    from mvs_gaussian_splatting_tpu.eval import expected_values as ev
+
+    path = os.environ.get("LPIPS_WEIGHTS_NPZ", "")
+    if not path or not os.path.exists(path):
+        pytest.skip("real LPIPS weights not available (zero-egress container)")
+    m = LPIPS(path)
+    img1, img2 = ev.lpips_probe_pair()
+    got = float(m(img1, img2))
+    assert float(m(img1, img1)) == pytest.approx(0.0, abs=1e-6)
+    assert 0.0 < got < 1.5, f"implausible LPIPS {got}"
+    if ev.LPIPS_PROBE_REAL_VGG is None:
+        pytest.fail(  # visible once, on the first weights-bearing run
+            f"PIN ME: set expected_values.LPIPS_PROBE_REAL_VGG = {got!r}")
+    assert got == pytest.approx(ev.LPIPS_PROBE_REAL_VGG,
+                                abs=ev.LPIPS_PROBE_TOL)
+
+
+def test_published_dataset_table():
+    """The committed 3DGS-paper table is structurally usable as the full_eval
+    acceptance gate (datasets unreachable here; see expected_values.py)."""
+    from mvs_gaussian_splatting_tpu.eval.expected_values import (
+        GS3D_PAPER_30K, check_dataset_results)
+
+    assert set(GS3D_PAPER_30K) == {"mipnerf360", "tanksandtemples",
+                                   "deepblending"}
+    ok = {"psnr": 27.21, "ssim": 0.815, "lpips_vgg": 0.214}
+    assert check_dataset_results("mipnerf360", ok) == []
+    bad = {"psnr": 27.21, "ssim": 0.815, "lpips_vgg": 0.30}
+    assert any("lpips" in d for d in check_dataset_results("mipnerf360", bad))
+    assert any("missing" in d
+               for d in check_dataset_results("deepblending", {"psnr": 29.4}))
