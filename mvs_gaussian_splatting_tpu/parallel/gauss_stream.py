@@ -178,7 +178,8 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
             tile_h, interpret, False, config.fast_math)
         stats = jnp.stack([jnp.asarray(bins.overflow_tiles, jnp.int32),
                            jnp.asarray(bins.overflow_capacity, jnp.int32),
-                           overflow_quota.astype(jnp.int32)])
+                           overflow_quota.astype(jnp.int32),
+                           jnp.asarray(bins.counts_raw.sum(), jnp.int32)])
         stats = jax.lax.psum(stats, axis)
         return out, final_t, stats
 
@@ -217,6 +218,7 @@ def make_gauss_sharded_stream(mesh: Mesh, axis: str, image_width: int,
             "overflow_tiles": stats[0],
             "overflow_capacity": stats[1],
             "overflow_quota": stats[2],
+            "instance_load": stats[3],
         }
         return image, aux
 

@@ -119,6 +119,13 @@ class TrainRunConfig:
     log_every: int = 10
     data_parallel: int = 0   # cameras per step over the device mesh (0 = off)
     tile_parallel: int = 0   # shard ONE camera's tiles over N devices (0 = off)
+    # Setting BOTH data_parallel and tile_parallel composes them into a 2D
+    # (data × tile) mesh: data_parallel cameras per step, each camera's tiles
+    # sharded tile_parallel-ways (parallel/grid_train.py, round 4).
+    gauss_parallel: int = 0  # shard the GAUSSIANS over N devices (0 = off):
+    # params/Adam/aux live N/D per device, one all_to_all exchanges packed
+    # instances into tile owners (parallel/gauss_train.py) — the axis for
+    # the N >> pixels regime. Exclusive with data/tile modes.
     # Unattended-run safety (VERDICT round-2 item #5): abort when the test
     # PSNR at an eval sits more than `divergence_psnr_drop` dB below its
     # running max for `divergence_patience` consecutive evals. 0 = disabled.
