@@ -19,13 +19,18 @@ from mvs_gaussian_splatting_tpu.utils.transforms import normalize
 
 W, H = 1920, 1088
 N = 200_000
+if "--workload" in sys.argv:       # e.g. --workload bicycle (VERDICT r4 #4)
+    _wl = sys.argv[sys.argv.index("--workload") + 1]
+    from train_bench import WORKLOADS
+    W, H, N = (WORKLOADS[_wl][k] for k in ("width", "height", "n"))
 cfg = RasterConfig(tile_w=32, tile_h=16, tile_capacity=1024,
                    max_tiles_per_gaussian=32, tile_batch=256, backend="stream",
                    fast_math="--fast" in sys.argv)
 from mvs_gaussian_splatting_tpu.ops.binning import auto_instance_cap
 CAP = auto_instance_cap(N, cfg.max_tiles_per_gaussian, cfg.tile_w,
                         cfg.tile_h, cfg.tier_budgets, cfg.tier_fracs)
-if len(sys.argv) > 1 and sys.argv[1] not in ("auto", "--fast"):
+if (len(sys.argv) > 1 and sys.argv[1] not in ("auto", "--fast")
+        and not sys.argv[1].startswith("--")):
     CAP = int(sys.argv[1])
     cfg = cfg._replace(instance_cap=CAP)
 cam, (means, log_scales, quats, opac_logit, shs) = build_scene(N, W, H)
@@ -90,6 +95,49 @@ def loss_k(a):
 gradk = jax.jit(lambda eps: jax.grad(loss_k)(attrs + eps))
 t_gradk = timeit(gradk)
 
+# pack fwd+bwd in isolation (gather + where + transpose AND their
+# transposes: the [CAP]-row scatter-add back into the [N, 16] table plus
+# the depth-order unsort scatter)
+def pack_loss(eps):
+    return pack_fn(eps).sum()
+
+pack_grad = jax.jit(lambda eps: jax.grad(pack_loss)(eps))
+t_pack_bwd = timeit(pack_grad)
+
+# pack-transpose scatter in isolation: grad of the instance row-gather
+# w.r.t. the [N, 16] table — the CAP-row scatter-add the backward must run
+_rngw = np.random.RandomState(9)
+wrand = jnp.asarray(_rngw.rand(attrs.shape[1], ROWS).astype(np.float32))
+table16 = jnp.asarray(_rngw.rand(N, ROWS).astype(np.float32))
+valid_col = bins.inst_valid[:, None]
+
+def _gather_loss(t, eps):
+    rows = jnp.where(valid_col, (t + eps)[bins.inst_rank], 0.0)
+    return (rows * wrand).sum()
+
+scatf = jax.jit(lambda eps: jax.grad(_gather_loss)(table16, eps))
+t_scat = timeit(scatf)
+
+# depth-unsort scatter in isolation: grad of the [N]-row order gather
+worder = jnp.asarray(_rngw.rand(N, ROWS).astype(np.float32))
+unsf = jax.jit(lambda eps: jax.grad(
+    lambda t: (((t + eps)[bins.order]) * worder).sum())(table16))
+t_uns = timeit(unsf)
+
+# depth argsort alone ([N] f32 keys)
+sortf = jax.jit(lambda eps: jnp.argsort(
+    jnp.where(p.mask, p.depth + eps, jnp.inf), stable=True))
+t_sort = timeit(sortf)
+
+# binning+pack+kernel fwd+bwd WITHOUT preprocess (isolates the raster
+# half's backward from preprocess's transpose)
+def raster_only_loss(eps):
+    img, _ = rasterize(p._replace(xy=p.xy + eps), W, H, bg, cfg)
+    return img.mean()
+
+raster_grad = jax.jit(lambda eps: jax.grad(raster_only_loss)(eps))
+t_raster_bwd = timeit(raster_grad)
+
 # full fwd / full fwd+bwd
 def loss_fn(eps):
     pp = pre_fn(eps)
@@ -111,11 +159,16 @@ t_step = timeit(step_f)
 counts_np = np.asarray(bins.counts)
 ss_np = np.asarray(bins.seg_start)
 chunks = int((((ss_np % 128) + counts_np + 127) // 128).sum())
-print(f"instances={counts_np.sum()}  window-chunks={chunks}")
+print(f"instances={counts_np.sum()}  window-chunks={chunks}  CAP={CAP}")
 print(f"preprocess fwd       : {t_pre:7.2f} ms")
+print(f"depth argsort        : {t_sort:7.2f} ms")
 print(f"binning              : {t_bin:7.2f} ms")
 print(f"pack (gather+T)      : {t_pack:7.2f} ms")
+print(f"pack fwd+bwd         : {t_pack_bwd:7.2f} ms (bwd ~{t_pack_bwd - t_pack:.2f})")
+print(f"pack-transpose scat  : {t_scat:7.2f} ms (isolated CAP-row scatter-add)")
+print(f"unsort scatter       : {t_uns:7.2f} ms (isolated [N]-row scatter)")
 print(f"kernel fwd           : {t_fwdk:7.2f} ms")
 print(f"kernel fwd+bwd       : {t_gradk:7.2f} ms (bwd ~{t_gradk - t_fwdk:.2f})")
+print(f"raster-only fwd+bwd  : {t_raster_bwd:7.2f} ms (no preprocess bwd)")
 print(f"full fwd             : {t_full_fwd:7.2f} ms")
 print(f"full fwd+bwd         : {t_step:7.2f} ms")

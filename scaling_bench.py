@@ -199,9 +199,78 @@ def main():
             jax.block_until_ready(m)
         return run
 
+    # ---- 2D grid TRAIN step (round 4): 2 cameras × tiles ---------------
+    # data axis fixed at 2; the tile axis takes the rest (strong scaling in
+    # tiles at fixed batch — the "chips per host" shape of BASELINE #3/#4)
+    from jax.sharding import Mesh as _Mesh
+    from mvs_gaussian_splatting_tpu.parallel.grid_train import (
+        make_grid_train_step)
+
+    def grid_train_factory(n_dev):
+        w, h = 256, 256
+        n_tile = max(1, n_dev // 2)
+        devs = np.array(jax.devices()[:2 * n_tile]).reshape(2, n_tile)
+        mesh = _Mesh(devs, ("data", "tile"))
+        step, place_g = make_grid_train_step(
+            opt_cfg, raster_cfg._replace(backend="stream"), 1.0, mesh,
+            interpret=interp)
+        cams = stack_cameras([graft._camera(w, h, 0.0),
+                              graft._camera(w, h, 0.4)])
+        gts = jnp.zeros((2, 3, h, w)) + 0.5
+        params_c = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        adam_c = jax.tree.map(lambda x: jnp.array(x, copy=True), adam)
+        aux_c = jax.tree.map(lambda x: jnp.array(x, copy=True), aux)
+        p0, a0, x0, b_cams, b_gts, b_bg = place_g(params_c, adam_c, aux_c,
+                                                  cams, gts, jnp.zeros(3))
+        holder = {"s": (p0, a0, x0)}
+
+        def run():
+            pp, aa, xx = holder["s"]
+            p2, a2, x2, m = step(pp, aa, xx, b_cams, b_gts, b_bg,
+                                 jnp.int32(1), jnp.asarray(False),
+                                 width=w, height=h, sh_degree=0)
+            holder["s"] = (p2, a2, x2)
+            jax.block_until_ready(m)
+        return run
+
+    # ---- gauss-sharded TRAIN step (round 4): weak scaling in N ----------
+    from mvs_gaussian_splatting_tpu.parallel.gauss_train import (
+        make_gauss_train_step)
+
+    def gauss_train_factory(n_dev):
+        w, h = 256, 256
+        mesh = make_mesh(n_dev, axes=("gauss",))
+        cap = 4096 * n_dev                # primitives ∝ devices
+        params_g, aux_g = init_from_pcd(
+            rng.uniform(-0.8, 0.8, (cap // 2, 3)).astype(np.float32),
+            rng.rand(cap // 2, 3).astype(np.float32), cap)
+        adam_g = adam_init(params_g)
+        step, place_gs = make_gauss_train_step(
+            opt_cfg, raster_cfg._replace(backend="stream",
+                                         instance_cap=0), 1.0, mesh,
+            interpret=interp)
+        cam = graft._camera(w, h)
+        gt = jnp.zeros((3, h, w)) + 0.5
+        p0, a0, x0, b_cam, b_gt, b_bg = place_gs(params_g, adam_g, aux_g,
+                                                 cam, gt, jnp.zeros(3))
+        holder = {"s": (p0, a0, x0)}
+
+        def run():
+            pp, aa, xx = holder["s"]
+            p2, a2, x2, m = step(pp, aa, xx, b_cam, b_gt, b_bg, jnp.int32(1),
+                                 jnp.asarray(False), width=w, height=h,
+                                 sh_degree=0)
+            holder["s"] = (p2, a2, x2)
+            jax.block_until_ready(m)
+        return run
+
     tile_results = measure_scaling(tile_factory, iters=3)
     gauss_results = measure_scaling(gauss_factory, iters=3)
     tile_train_results = measure_scaling(tile_train_factory, iters=3)
+    grid_counts = [c for c in (2, 4, 8) if c <= len(jax.devices())]
+    grid_train_results = measure_scaling(grid_train_factory,
+                                         device_counts=grid_counts, iters=3)
+    gauss_train_results = measure_scaling(gauss_train_factory, iters=3)
 
     # ---- compile-only check at 1080p shapes over the full mesh ----------
     # regress-tests that the sharded 1080p programs keep compiling; no
@@ -229,12 +298,66 @@ def main():
                      "seconds": round(_time.perf_counter() - t0, 1),
                      "devices": n_all}
 
+    # ---- tile-ownership balance artifact (round 4, VERDICT #8) ----------
+    # Sky-heavy scene: content confined to the bottom 45% of the frame, top
+    # rows nearly empty — the load shape that motivates round-robin tile
+    # ownership (SURVEY §7 "load imbalance"). Reports the per-device
+    # instance-count spread for contiguous strips vs round-robin at D=4/8.
+    from mvs_gaussian_splatting_tpu.ops.binning import (auto_instance_cap,
+                                                        bin_instances_stream)
+
+    def tile_balance_artifact():
+        wb, hb = 512, 512
+        camb, (mb, lsb, qb, olb, shsb) = build_scene(20_000, wb, hb, seed=7)
+        # push all content into the bottom of the frame (y-down convention:
+        # positive camera-space y renders low); the top half becomes sky
+        mb = mb.at[:, 1].set(jnp.abs(mb[:, 1]) * 0.9 + 0.05 * mb[:, 2])
+        cfgb = raster_cfg._replace(backend="stream", instance_cap=0)
+        p = preprocess(mb, jax.nn.sigmoid(olb), camb, wb, hb,
+                       scales=jnp.exp(lsb), rotations=normalize(qb),
+                       shs=shsb, sh_degree=1,
+                       tile_w=cfgb.tile_w, tile_h=cfgb.tile_h)
+        tx, ty = -(-wb // cfgb.tile_w), -(-hb // cfgb.tile_h)
+        cap = auto_instance_cap(mb.shape[0], cfgb.max_tiles_per_gaussian,
+                                cfgb.tile_w, cfgb.tile_h, cfgb.tier_budgets,
+                                cfgb.tier_fracs)
+        bins = jax.jit(lambda pp: bin_instances_stream(
+            pp, tx, ty, cfgb.max_tiles_per_gaussian, cap,
+            tile_w=cfgb.tile_w, tile_h=cfgb.tile_h,
+            tier_budgets=cfgb.tier_budgets,
+            tier_fracs=cfgb.tier_fracs))(jax.lax.stop_gradient(p))
+        counts = np.asarray(bins.counts_raw)
+        t = counts.shape[0]
+        out = {"scene": "sky-heavy (content in bottom 45%)",
+               "tiles": int(t), "total_instances": int(counts.sum())}
+        for d in (4, 8):
+            pad = (-t) % d
+            cpad = np.concatenate([counts, np.zeros(pad, counts.dtype)])
+            strips = cpad.reshape(d, -1).sum(1)             # contiguous
+            rr = np.array([cpad[i::d].sum() for i in range(d)])  # round-robin
+            out[f"D{d}"] = {
+                "contiguous_per_device": strips.tolist(),
+                "round_robin_per_device": rr.tolist(),
+                # max/mean = the straggler factor: the slowest device's load
+                # relative to perfect balance (1.0 = balanced)
+                "contiguous_straggler": round(float(strips.max()
+                                                    / strips.mean()), 3),
+                "round_robin_straggler": round(float(rr.max() / rr.mean()),
+                                               3),
+            }
+        return out
+
+    balance = tile_balance_artifact()
+
     print(json.dumps({
         "metric": "weak_scaling_all_modes",
         "camera_dp": results,
         "tile_sharded_stream": tile_results,
         "gauss_sharded_stream": gauss_results,
         "tile_parallel_train_step": tile_train_results,
+        "grid_train_step_2xT": grid_train_results,
+        "gauss_parallel_train_step": gauss_train_results,
+        "tile_ownership_balance": balance,
         "compile_only_1080p_tile_sharded": compile_1080p,
         "note": ("efficiency is meaningful on real multi-chip hardware only; "
                  "virtual host-platform devices share one CPU and weak-scale "
