@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .preprocess import Processed
 
@@ -115,6 +116,9 @@ class StreamBins(NamedTuple):
     counts_raw: jnp.ndarray     # [T] int32 pre-clip intersection counts
     overflow_tiles: jnp.ndarray
     overflow_capacity: jnp.ndarray
+    # visible Gaussians dropped by RasterConfig.visible_cap truncation
+    # (0 unless the caller enables visible-prefix compaction)
+    overflow_visible: jnp.ndarray = np.zeros((), np.int32)
 
 
 def _tier_layout(n: int, max_tiles_per_gaussian: int, tier_budgets,
@@ -229,9 +233,14 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     depth-ordered :func:`rect_table` rows — callers that gather attribute
     rows by the same order pass both so the [N]-row rect gather fuses into
     their attribute gather (see ``rect_table``). Must be exactly
-    ``argsort(where(mask, depth, inf))`` and ``rect_table(processed)[order]``.
+    ``argsort(where(mask, depth, inf))`` and ``rect_table(processed)[order]``
+    — or a PREFIX of that order (visible-prefix compaction, round 4: masked
+    rows carry depth=inf so they sort to the tail; a caller that knows a
+    bound V on the visible count passes ``order[:V]`` and every per-row
+    stage here — tile enumeration, tier ranking, the instance sort — runs
+    on V rows instead of N; ``inst_rank`` then indexes the truncated order).
     """
-    n = processed.xy.shape[0]
+    n = order.shape[0] if order is not None else processed.xy.shape[0]
     d = max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
     if round_robin:

@@ -49,6 +49,19 @@ class RasterConfig(NamedTuple):
     # ~1e-3 pixel error (above the 2e-4 oracle-parity bound — training
     # impact validated on hardware, BASELINE.md). Keep False for eval/oracle.
     fast_math: bool = False
+    # Visible-prefix compaction (stream backend, round 4): a static bound on
+    # the per-camera VISIBLE Gaussian count. Masked (out-of-frustum/behind-
+    # camera) rows carry depth=inf and sort to the depth order's tail, so
+    # truncating the order to [:visible_cap] makes every per-row binning
+    # stage (tile enumeration, tier ranking, the instance key sort) and the
+    # attribute table gather/scatter-transpose scale with the VISIBLE count
+    # instead of N — the win on real 360-degree scenes where ~half the cloud
+    # is outside any one camera's frustum (the reference's CUDA path culls
+    # before binning for the same reason). Visible rows beyond the cap are
+    # the FARTHEST ones and are dropped, counted in aux["overflow_visible"]
+    # — never silent; the train loop grows its bucket on that signal.
+    # None = off (exact full-N behavior).
+    visible_cap: Optional[int] = None
 
 
 def _tile_pixel_grid(tile_ids, tiles_x: int, tile_w: int, tile_h: int):
@@ -118,6 +131,62 @@ def _rasterize_stream(processed: Processed, image_width: int,
                                   image_width, image_height)
 
 
+# Measured scatter-add lowering boundary (exp_scatter2.py, v5e): colliding
+# scatter-add into a target of <= ~250K rows runs at ~17 ns/row (the
+# accumulator stays VMEM-resident); from ~300K rows the per-row cost jumps
+# 6x to ~107 ns/row (per-row HBM read-modify-write). Independent of row
+# WIDTH and of collision structure. The backward of the instance row-gather
+# scatters CAP (~2-4M) rows into the [N, 16] table, so at bicycle scale
+# (N=500K) the default transpose alone cost 217 ms of a 303 ms step; the
+# bucketed form below splits the TARGET into fast-regime pieces and makes K
+# masked passes over the rows: K=2 at N=500K measured 72 ms vs 228 ms.
+_SCATTER_FAST_ROWS = 250_000
+
+
+def _bucketed_scatter_add(g_rows, idx, n: int,
+                          fast_rows: int = _SCATTER_FAST_ROWS):
+    """sum-scatter g_rows [M, W] into [n, W] at idx, keeping every
+    accumulator bucket inside the fast (<= fast_rows) scatter regime."""
+    w = g_rows.shape[1]
+    if n <= fast_rows:
+        return jnp.zeros((n, w), g_rows.dtype).at[idx].add(g_rows)
+    k = -(-n // fast_rows)
+    b = -(-n // k)
+    outs = []
+    for j in range(k):
+        local = idx - j * b
+        inb = (local >= 0) & (local < b)
+        li = jnp.where(inb, local, b)              # b = dump slot
+        acc = jnp.zeros((b + 1, w), g_rows.dtype).at[li].add(
+            jnp.where(inb[:, None], g_rows, 0.0))
+        outs.append(acc[:b])
+    return jnp.concatenate(outs)[:n]
+
+
+@jax.custom_vjp
+def _gather_inst_rows(table, inst_rank, inst_valid):
+    """rows[i] = table[inst_rank[i]] where valid else 0 — the stream pack
+    gather, with a transpose that uses the bucketed scatter above."""
+    return jnp.where(inst_valid[:, None], table[inst_rank], 0.0)
+
+
+def _gather_inst_rows_fwd(table, inst_rank, inst_valid):
+    return (_gather_inst_rows(table, inst_rank, inst_valid),
+            (inst_rank, inst_valid, table.shape[0]))
+
+
+def _gather_inst_rows_bwd(res, g):
+    inst_rank, inst_valid, n = res
+    g = jnp.where(inst_valid[:, None], g, 0.0)
+    import numpy as _np
+    f0 = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+    return (_bucketed_scatter_add(g, inst_rank, n), f0(inst_rank),
+            f0(inst_valid))
+
+
+_gather_inst_rows.defvjp(_gather_inst_rows_fwd, _gather_inst_rows_bwd)
+
+
 def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
                         config: RasterConfig):
     """Stream-backend front half: tile binning + packed attribute rows.
@@ -152,6 +221,19 @@ def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
     sg_processed = jax.lax.stop_gradient(processed)
     depth_key = jnp.where(sg_processed.mask, sg_processed.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+    overflow_visible = jnp.zeros((), jnp.int32)
+    if config.visible_cap and config.visible_cap < n:
+        # visible-prefix compaction: masked rows sorted to the tail, so the
+        # first V positions hold the V nearest visible Gaussians; every
+        # stage below runs on V rows. Dropped visible rows (the farthest)
+        # are counted, never silent.
+        v = config.visible_cap
+        n_vis = sg_processed.mask.sum().astype(jnp.int32)
+        overflow_visible = jnp.maximum(n_vis - v, 0)
+        order = order[:v]
+        nrows = v
+    else:
+        nrows = n
     table = jnp.concatenate([
         processed.xy,                                  # 0, 1
         processed.conic,                               # 2, 3, 4
@@ -159,7 +241,7 @@ def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
         processed.rgb,                                 # 6, 7, 8
         jnp.zeros((n, ROWS - 9)),
         rect_table(sg_processed),                      # 16..23 (no grad)
-    ], axis=1)[order]                                  # [N, 24] depth-ordered
+    ], axis=1)[order]                            # [V, 24] depth-ordered
     bins = bin_instances_stream(sg_processed, tiles_x,
                                 tiles_y, config.max_tiles_per_gaussian,
                                 cap, tile_w=config.tile_w,
@@ -169,8 +251,9 @@ def bin_and_pack_stream(processed: Processed, tiles_x: int, tiles_y: int,
                                 order=order,
                                 rect_ordered=jax.lax.stop_gradient(
                                     table[:, ROWS:]))
-    inst = jnp.where(bins.inst_valid[:, None],
-                     table[:, :ROWS][bins.inst_rank], 0.0)
+    bins = bins._replace(overflow_visible=overflow_visible)
+    inst = _gather_inst_rows(table[:, :ROWS], bins.inst_rank,
+                             bins.inst_valid)
     return bins, inst.T                                # [16, CAP + CHUNK]
 
 
@@ -191,7 +274,11 @@ def assemble_stream_output(tiles_out, final_T, bins, processed,
         "final_T": final_T_img,
         "overflow_tiles": bins.overflow_tiles,
         "overflow_capacity": bins.overflow_capacity,
+        "overflow_visible": bins.overflow_visible,
         "tile_counts": bins.counts_raw,
+        # measured per-camera visible count — feedback for the loop's
+        # visible_cap bucket (round 4)
+        "n_mask_visible": jax.lax.stop_gradient(processed.mask.sum()),
     }
     return image, aux
 

@@ -72,7 +72,10 @@ def render(camera: CameraView, image_width: int, image_height: int,
         "final_T": aux["final_T"],
         "overflow_tiles": aux["overflow_tiles"],
         "overflow_capacity": aux["overflow_capacity"],
+        "overflow_visible": aux.get("overflow_visible", 0),
         # total tile instances this frame — the live load the static
         # instance capacity must cover (train loop cap-bucket feedback)
         "instance_load": aux["tile_counts"].sum(),
+        # per-camera visible count — visible_cap bucket feedback (round 4)
+        "n_mask_visible": aux.get("n_mask_visible", 0),
     }

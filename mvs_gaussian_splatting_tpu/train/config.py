@@ -65,6 +65,15 @@ class PipelineConfig:
     # cli/render.py). --no-fast_math / fast_math=False restores exact
     # training.
     fast_math: bool = True
+    # Visible-prefix compaction (round 4, RasterConfig.visible_cap): bucket
+    # the per-camera VISIBLE count and truncate the depth order to it, so
+    # per-row binning/pack stages scale with what the camera actually sees
+    # instead of the render slice — the win on 360-degree scenes where a
+    # large fraction of the cloud is outside any one frustum. Off by
+    # default pending hardware validation at reference scale; dropped
+    # visible rows are counted (metrics.overflow_visible) and grow the
+    # bucket, never silent.
+    visible_compaction: bool = False
     # Stream-binning tiered tile budgets (RasterConfig.tier_budgets): every
     # Gaussian gets budgets[0] tile slots, the largest fracs[i]*N by rect
     # area get budgets[i+1], the top fracs[-1]*N the full

@@ -109,6 +109,11 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                    or (raster_cfg.backend == "auto"
                        and jax.default_backend() == "tpu"))
     inst_cap = 0
+    # visible-prefix compaction bucket (round 4): sized from the measured
+    # per-camera visible count, grown immediately on overflow_visible
+    use_vis = pipe_cfg.visible_compaction and stream_caps
+    vis_cap = 0
+    vis_max = 0
 
     batch_step = None
     mesh = None
@@ -341,7 +346,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 jnp.int32(iteration), jnp.asarray(do_stats),
                 width=cam.image.shape[2], height=cam.image.shape[1],
                 sh_degree=active_sh, render_n=render_n,
-                instance_cap=inst_cap)
+                instance_cap=inst_cap, visible_cap=vis_cap)
 
         # Pre-densify state refs for the report (free — JAX arrays are
         # immutable; only eval iterations keep them live past densify)
@@ -396,6 +401,18 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                         log_fn(f"[ITER {iteration}] instance cap "
                                f"{inst_cap or 'auto'} → {new_ic or 'auto'}")
                         inst_cap = new_ic
+                if use_vis and vis_max > 0:
+                    # re-bucket from the max visible count seen since the
+                    # last densify round (covers camera-to-camera spread);
+                    # 0 = off when the bucket wouldn't beat the render slice
+                    new_vc = _render_bucket(vis_max,
+                                            render_n or params.xyz.shape[0],
+                                            margin=1.3)
+                    if new_vc != vis_cap:
+                        log_fn(f"[ITER {iteration}] visible cap "
+                               f"{vis_cap or 'off'} → {new_vc or 'off'}")
+                        vis_cap = new_vc
+                    vis_max = 0
             if (iteration % opt_cfg.opacity_reset_interval == 0
                     or (model_cfg.white_background
                         and iteration == opt_cfg.densify_from_iter)):
@@ -409,9 +426,23 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         # therefore blends SAMPLED losses (every 10th) — display-only
         # smoothing, slightly noisier than the reference's per-iteration EMA.
         if iteration % 10 == 0 or iteration % run_cfg.log_every == 0:
-            loss, oc_now, il_now, nf_now = (float(v) for v in jax.device_get(
-                (metrics.loss, metrics.overflow_capacity,
-                 metrics.instance_load, metrics.nonfinite_grad_rows)))
+            loss, oc_now, il_now, nf_now, mv_now, ov_now = (
+                float(v) for v in jax.device_get(
+                    (metrics.loss, metrics.overflow_capacity,
+                     metrics.instance_load, metrics.nonfinite_grad_rows,
+                     metrics.mask_visible, metrics.overflow_visible)))
+            if use_vis:
+                vis_max = max(vis_max, int(mv_now))
+                if ov_now > 0:
+                    # the bucket dropped real (farthest) visible rows —
+                    # grow to cover the measured count right away
+                    new_vc = _render_bucket(int(mv_now),
+                                            render_n or params.xyz.shape[0],
+                                            margin=1.3)
+                    if new_vc != vis_cap:
+                        log_fn(f"[ITER {iteration}] visible cap overflow "
+                               f"({int(ov_now)} rows) → {new_vc or 'off'}")
+                        vis_cap = new_vc
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             if nf_now > 0:
                 log_fn(f"[ITER {iteration}] WARNING: {int(nf_now)} rows had "

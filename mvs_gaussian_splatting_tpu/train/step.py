@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.densify import add_densification_stats
 from ..models.gaussians import GaussianAux, GaussianParams
@@ -33,6 +34,12 @@ class StepMetrics(NamedTuple):
     overflow_capacity: jnp.ndarray
     instance_load: jnp.ndarray
     nonfinite_grad_rows: jnp.ndarray   # rows zeroed by optim.scrub_grads
+    # visible-prefix compaction feedback (round 4; defaults for step
+    # variants that don't run compaction): the camera's measured visible
+    # count (sizes the loop's visible_cap bucket) and the visible rows the
+    # current cap dropped (grow signal — never silent)
+    mask_visible: jnp.ndarray = np.zeros((), np.int32)
+    overflow_visible: jnp.ndarray = np.zeros((), np.int32)
 
 
 def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
@@ -41,10 +48,11 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
 
     @partial(jax.jit,
              static_argnames=("width", "height", "sh_degree", "render_n",
-                              "instance_cap"))
+                              "instance_cap", "visible_cap"))
     def train_step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
                    camera, gt, bg, step, do_stats, *, width: int, height: int,
-                   sh_degree: int, render_n: int = 0, instance_cap: int = 0):
+                   sh_degree: int, render_n: int = 0, instance_cap: int = 0,
+                   visible_cap: int = 0):
         """``render_n`` (static): 0 = render the full capacity; otherwise the
         loop guarantees (via models.gaussians.compact_state after every
         densify round) that all alive slots sit in [:render_n], and only that
@@ -57,9 +65,17 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
         a-priori auto heuristic); otherwise a measured-load bucket chosen by
         the loop (see loop._instance_bucket) — the stream sort/pack/scatter
         stages scale with this STATIC value, and overflow (counted in
-        metrics) triggers a bucket grow."""
+        metrics) triggers a bucket grow.
+
+        ``visible_cap`` (static): 0 = off; otherwise the visible-prefix
+        compaction bound (RasterConfig.visible_cap) — per-row binning/pack
+        stages scale with the per-camera visible count instead of render_n,
+        the win on 360-degree scenes. The loop buckets it from
+        metrics.mask_visible and grows on metrics.overflow_visible."""
         rc = (raster_cfg._replace(instance_cap=instance_cap)
               if instance_cap else raster_cfg)
+        if visible_cap:
+            rc = rc._replace(visible_cap=visible_cap)
         capacity = params.xyz.shape[0]
         n_render = render_n if render_n else capacity
 
@@ -112,7 +128,11 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
                               overflow_tiles=out["overflow_tiles"],
                               overflow_capacity=out["overflow_capacity"],
                               instance_load=out["instance_load"],
-                              nonfinite_grad_rows=n_bad)
+                              nonfinite_grad_rows=n_bad,
+                              mask_visible=jnp.asarray(
+                                  out["n_mask_visible"], jnp.int32),
+                              overflow_visible=jnp.asarray(
+                                  out["overflow_visible"], jnp.int32))
         return new_params, new_adam, new_aux, metrics
 
     return train_step
