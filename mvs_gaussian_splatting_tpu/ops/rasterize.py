@@ -141,10 +141,30 @@ def _rasterize_stream(processed: Processed, image_width: int,
 # bucketed form below splits the TARGET into fast-regime pieces and makes K
 # masked passes over the rows: K=2 at N=500K measured 72 ms vs 228 ms.
 _SCATTER_FAST_ROWS = 250_000
+# Single-pass widened-row variant: place each row in column block
+# `idx // bucket_rows` of a [bucket_rows, K*W] accumulator (still in the
+# fast row regime) instead of making K masked passes. Exactly equal output.
+# Default decided by measurement (exp_scatter3.py) — see the note below.
+_SCATTER_WIDENED = False
+
+
+def _widened_scatter_add(g_rows, idx, n: int, k: int, b: int):
+    """One fast-regime pass: scatter [M, W] rows into [b, K*W] with the
+    column block selected by target bucket, then unstack to [n, W]."""
+    w = g_rows.shape[1]
+    bucket = idx // b
+    local = idx - bucket * b
+    onehot = (bucket[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :]
+              ).astype(g_rows.dtype)
+    wide = (onehot[:, :, None] * g_rows[:, None, :]).reshape(
+        g_rows.shape[0], k * w)
+    acc = jnp.zeros((b, k * w), g_rows.dtype).at[local].add(wide)
+    return acc.reshape(b, k, w).swapaxes(0, 1).reshape(k * b, w)[:n]
 
 
 def _bucketed_scatter_add(g_rows, idx, n: int,
-                          fast_rows: int = _SCATTER_FAST_ROWS):
+                          fast_rows: int = _SCATTER_FAST_ROWS,
+                          widened: bool | None = None):
     """sum-scatter g_rows [M, W] into [n, W] at idx, keeping every
     accumulator bucket inside the fast (<= fast_rows) scatter regime."""
     w = g_rows.shape[1]
@@ -152,6 +172,8 @@ def _bucketed_scatter_add(g_rows, idx, n: int,
         return jnp.zeros((n, w), g_rows.dtype).at[idx].add(g_rows)
     k = -(-n // fast_rows)
     b = -(-n // k)
+    if widened if widened is not None else _SCATTER_WIDENED:
+        return _widened_scatter_add(g_rows, idx, n, k, b)
     outs = []
     for j in range(k):
         local = idx - j * b

@@ -122,9 +122,11 @@ def test_bucketed_scatter_matches_plain():
     rows = jnp.asarray(rng.rand(m, w).astype(np.float32))
     want = jnp.zeros((n, w)).at[idx].add(rows)
     for fast_rows in (50, 100, 331, 1000):
-        got = _bucketed_scatter_add(rows, idx, n, fast_rows=fast_rows)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-6, atol=1e-7)
+        for widened in (False, True):
+            got = _bucketed_scatter_add(rows, idx, n, fast_rows=fast_rows,
+                                        widened=widened)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-6, atol=1e-7)
 
 
 def test_gather_inst_rows_custom_vjp():
