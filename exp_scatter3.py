@@ -44,21 +44,23 @@ rng = np.random.RandomState(0)
 ROWS16 = jnp.asarray(rng.rand(CAP, 16).astype(np.float32))
 
 
-def widened(eps, ix, n, k, w=16):
+def widened(eps, ix, r, n, k):
+    w = r.shape[1]
     b = -(-n // k)
     bucket = ix // b
     local = ix - bucket * b
-    r = ROWS16[:, :w] + eps
+    r = r + eps
     onehot = (bucket[:, None] == jnp.arange(k)[None, :]).astype(r.dtype)
     wide = (onehot[:, :, None] * r[:, None, :]).reshape(CAP, k * w)
     acc = jnp.zeros((b, k * w)).at[local].add(wide)
     return acc.reshape(b, k, w).swapaxes(0, 1).reshape(k * b, w)[:n]
 
 
-def bucketed(eps, ix, n, k, w=16):
+def bucketed(eps, ix, r, n, k):
+    w = r.shape[1]
     b = -(-n // k)
     outs = []
-    r = ROWS16[:, :w] + eps
+    r = r + eps
     for j in range(k):
         local = ix - j * b
         inb = (local >= 0) & (local < b)
@@ -75,7 +77,7 @@ def main():
     n_small = 1000
     ix_s = jnp.asarray(rng.randint(0, n_small, CAP).astype(np.int32))
     ref = jnp.zeros((n_small, 16)).at[ix_s].add(ROWS16)
-    got = widened(jnp.float32(0.0), ix_s, n_small, 3)
+    got = widened(jnp.float32(0.0), ix_s, ROWS16, n_small, 3)
     print(f"  correctness (n=1000, k=3): max|diff| = "
           f"{float(jnp.max(jnp.abs(ref - got))):.3e}")
 
@@ -85,18 +87,18 @@ def main():
     for w in (16, 32, 48, 64):
         rows_w = jnp.concatenate([ROWS16] * (-(-w // 16)), 1)[:, :w]
 
-        def scatw(eps, ix):
-            return jnp.zeros((n_t, w)).at[ix].add(rows_w + eps)
+        def scatw(eps, ix, rows):
+            return jnp.zeros((n_t, w)).at[ix].add(rows + eps)
 
-        t = timeit(jax.jit(scatw), ix_t)
+        t = timeit(jax.jit(scatw), ix_t, rows_w)
         print(f"  fast-regime width {w:>2} (target {n_t * w * 4 / 2**20:6.1f}"
               f" MB): {t:8.2f} ms ({t * 1e6 / CAP:.1f} ns/row)")
 
     # head-to-head at bicycle scale and above
     for n, k in ((500_000, 2), (750_000, 3), (1_000_000, 4)):
         ix = jnp.asarray(rng.randint(0, n, CAP).astype(np.int32))
-        tb = timeit(jax.jit(lambda e, i: bucketed(e, i, n, k)), ix)
-        tw = timeit(jax.jit(lambda e, i: widened(e, i, n, k)), ix)
+        tb = timeit(jax.jit(lambda e, i, r: bucketed(e, i, r, n, k)), ix, ROWS16)
+        tw = timeit(jax.jit(lambda e, i, r: widened(e, i, r, n, k)), ix, ROWS16)
         print(f"  N={n:>9} K={k}:  bucketed {tb:7.2f} ms   "
               f"widened {tw:7.2f} ms   ({tb / tw:.2f}x)")
 

@@ -144,8 +144,11 @@ _SCATTER_FAST_ROWS = 250_000
 # Single-pass widened-row variant: place each row in column block
 # `idx // bucket_rows` of a [bucket_rows, K*W] accumulator (still in the
 # fast row regime) instead of making K masked passes. Exactly equal output.
-# Default decided by measurement (exp_scatter3.py) — see the note below.
-_SCATTER_WIDENED = False
+# Measured on v5e (exp_scatter3.py): the fast-regime rate is per-ROW even at
+# width 64 (17-18 ns/row, 61 MB target), so one widened pass is flat in N —
+# ~38 ms at CAP=2.15M for ANY N up to 1M, vs K x ~35 ms for the K-pass form
+# (1.9x at N=500K, 3.6x at N=1M). Default on.
+_SCATTER_WIDENED = True
 
 
 def _widened_scatter_add(g_rows, idx, n: int, k: int, b: int):
