@@ -74,6 +74,68 @@ def eval_raster_config(pipe_cfg, n_gaussians: int = 0):
     return cfg
 
 
+def measure_tile_needs(params: GaussianParams, cameras, tile_w: int,
+                       tile_h: int) -> np.ndarray:
+    """Per-Gaussian worst-case tile count over ``cameras``: the projected
+    rect area of each visible splat, maxed across views (preprocess only —
+    ~N-row cost per camera, no rasterization)."""
+    import functools
+
+    import jax
+
+    from ..models.gaussians import activated
+    from ..ops.preprocess import preprocess
+
+    scales, rotations, opacity = activated(params)
+    dummy_rgb = jnp.zeros_like(params.xyz)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def one(view, w, h):
+        p = preprocess(params.xyz, opacity, view, w, h, scales=scales,
+                       rotations=rotations, colors_precomp=dummy_rgb,
+                       tile_w=tile_w, tile_h=tile_h)
+        area = (jnp.maximum(p.rect_max[:, 0] - p.rect_min[:, 0], 0)
+                * jnp.maximum(p.rect_max[:, 1] - p.rect_min[:, 1], 0))
+        return jnp.where(p.mask, area, 0).astype(jnp.int32)
+
+    needs = np.zeros(params.xyz.shape[0], np.int64)
+    for cam in cameras:
+        w, h = int(cam.image.shape[2]), int(cam.image.shape[1])
+        needs = np.maximum(needs, np.asarray(one(cam.view(), w, h)))
+    return needs
+
+
+def adaptive_eval_config(cfg, needs: np.ndarray, log=print):
+    """Resize ``cfg``'s tier layout from measured tile needs (see
+    ops/binning.adaptive_tier_layout) and re-derive the exact instance cap.
+    Tier caps are fractions of the rendered row count, so the same model
+    clips differently in the loop (padded capacity bucket) and offline
+    (exact N); measuring needs makes offline rendering clip-free by
+    construction — the n-dependent ~1 dB eval skew seen on big-splat
+    view-dependent scenes (runs/specscale)."""
+    from ..ops.binning import adaptive_tier_layout, stream_instance_bound
+    n = int(needs.shape[0])
+    # A flat () layout means "never clip" — with measured needs, a
+    # needs-sized tier ladder renders EXACTLY the same image (parity test in
+    # tests/test_adaptive_budgets.py) at a fraction of the n·d instance
+    # slots a literal flat budget implies (59M at 115K rows), so adaptive
+    # honors the intent, not the encoding.
+    budgets_in = cfg.tier_budgets or (4, 12, 64)
+    fracs_in = cfg.tier_fracs if cfg.tier_budgets else (0.0, 0.0, 0.0)
+    d, budgets, fracs, n_clipped = adaptive_tier_layout(
+        needs, cfg.max_tiles_per_gaussian, budgets_in, fracs_in)
+    if n_clipped:
+        log(f"WARNING: adaptive budgets hit the slot limit — {n_clipped} "
+            f"Gaussians render with fewer tiles than they need")
+    bound = stream_instance_bound(n, d, budgets, fracs)
+    log(f"adaptive eval budgets: max_tiles {d}, tiers {budgets} @ "
+        f"fracs {tuple(round(f, 4) for f in fracs)} "
+        f"(need max {int(needs.max()) if n else 0}, instance cap {bound})")
+    return cfg._replace(max_tiles_per_gaussian=d, tier_budgets=budgets,
+                        tier_fracs=fracs,
+                        instance_cap=bound + (-bound) % 128)
+
+
 def render_set(model_path, name, iteration, cameras, params, bg, sh_degree,
                raster_cfg):
     render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
@@ -94,6 +156,10 @@ def main(argv=None):
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--adaptive_budgets",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="size tier budgets from the measured per-view "
+                        "tile needs so no splat is clipped (default on)")
     args = parser.parse_args(argv)
 
     try:
@@ -104,19 +170,38 @@ def main(argv=None):
     model_cfg.model_path = args.model_path
     pipe_cfg = extract(PipelineConfig, args)
 
+    retained = os.path.join(model_cfg.model_path, "point_cloud_final.ply.gz")
     iteration = args.iteration
     if iteration == -1:
-        iteration = search_max_iteration(
-            os.path.join(model_cfg.model_path, "point_cloud"))
+        try:
+            iteration = search_max_iteration(
+                os.path.join(model_cfg.model_path, "point_cloud"))
+        except (FileNotFoundError, ValueError):
+            iteration = -1
+    if iteration == -1 and os.path.exists(retained):
+        iteration = "final"
     print(f"Rendering {model_cfg.model_path} at iteration {iteration}")
 
     scene = Scene(model_cfg, load_iteration=iteration, shuffle=False)
     ply = os.path.join(model_cfg.model_path, "point_cloud",
                        f"iteration_{iteration}", "point_cloud.ply")
+    if not os.path.exists(ply) and os.path.exists(retained):
+        # Validation runs retain only the gzipped final model (run artifacts
+        # gitignore the raw point_cloud/ tree) — fall back to it so committed
+        # runs stay re-renderable across rounds.
+        print(f"using retained final model {retained}")
+        ply = retained
     params = params_from_ply(ply, model_cfg.sh_degree)
     bg = jnp.ones(3) if model_cfg.white_background else jnp.zeros(3)
     raster_cfg = eval_raster_config(pipe_cfg,
                                     n_gaussians=int(params.xyz.shape[0]))
+    if args.adaptive_budgets:
+        cams = (([] if args.skip_train else list(scene.get_train_cameras()))
+                + ([] if args.skip_test else list(scene.get_test_cameras())))
+        if cams:
+            needs = measure_tile_needs(params, cams, raster_cfg.tile_w,
+                                       raster_cfg.tile_h)
+            raster_cfg = adaptive_eval_config(raster_cfg, needs)
 
     if not args.skip_train:
         render_set(model_cfg.model_path, "train", iteration,

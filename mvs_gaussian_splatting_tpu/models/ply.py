@@ -14,10 +14,25 @@ as the reference's ``transpose(1, 2).flatten(start_dim=1)``.
 
 from __future__ import annotations
 
+import gzip
 import os
 from typing import Dict
 
 import numpy as np
+
+
+def _open_ply(path: str, mode: str):
+    """Binary file handle; a ``.gz`` suffix selects transparent gzip.
+
+    Run artifacts gitignore the raw point_cloud/ PLYs as heavy binaries, so a
+    converged model used to die with its round — blocking any later offline
+    re-measurement (the round-4 specscale eval-gap investigation had no model
+    left to re-render). Validation runs now retain the final model as an
+    EXACT gzipped PLY small enough to commit."""
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
 
 _PLY_DTYPES = {"f4": "float", "u1": "uchar", "f8": "double", "i4": "int"}
 _PLY_DTYPES_INV = {"float": "<f4", "uchar": "u1", "double": "<f8", "int": "<i4",
@@ -38,14 +53,14 @@ def write_ply(path: str, fields: Dict[str, np.ndarray]) -> None:
         header.append(f"property {_PLY_DTYPES[kind]} {name}")
     header.append("end_header")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    with _open_ply(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         f.write(rec.tobytes())
 
 
 def read_ply(path: str) -> Dict[str, np.ndarray]:
     """Read the 'vertex' element of a PLY (binary LE or ascii) into columns."""
-    with open(path, "rb") as f:
+    with _open_ply(path, "rb") as f:
         if f.readline().strip() != b"ply":
             raise ValueError(f"{path}: not a PLY file")
         fmt = None

@@ -172,6 +172,88 @@ def auto_instance_cap(n: int, max_tiles_per_gaussian: int, tile_w: int,
     return cap + (-cap) % 128
 
 
+def adaptive_tier_layout(needs, max_tiles_per_gaussian: int, tier_budgets,
+                         tier_fracs, margin: float = 1.1,
+                         slot_limit: int = 16_000_000):
+    """Size a tier layout from MEASURED per-Gaussian tile needs so that no
+    splat is clipped to a partial tile patch (offline-eval use).
+
+    ``needs``: per-Gaussian worst-case tile count over the eval cameras —
+    the projected rect area from :func:`rect_table` geometry (an upper bound
+    on the enumerated tiles; level-set culling only shrinks it). Within any
+    single frame, the rows whose area exceeds a tier threshold are by
+    definition the top ``count`` of that frame's area ranking, and per-frame
+    counts are bounded by the max-over-cameras counts here — so caps sized
+    from these counts make the tiered enumeration EXACTLY equal to the flat
+    ``max_tiles_per_gaussian`` budget, per frame, by construction. ``margin``
+    absorbs area-rank ties at the prefix boundary.
+
+    Returns ``(d, budgets, fracs, n_clipped)``: the (possibly escalated)
+    top budget, the filtered budget ladder, per-tier fracs (elementwise max
+    of the adaptive counts and the caller's ``tier_fracs`` — user generosity
+    wins), and the number of rows whose need still exceeds their assigned
+    budget after the ``slot_limit`` memory guard (0 unless the guard bit;
+    callers MUST surface a nonzero count — no silent caps).
+
+    Rationale: tier caps are fractions of n, so the same trained model gets
+    *different* per-Gaussian budgets depending on the row count it is
+    rendered with — the train loop renders a padded capacity bucket while
+    offline render uses the exact compacted N, which clipped big smooth
+    splats at tile boundaries and cost ~0.9 dB on a view-dependent scene
+    (runs/specscale, round 4: loop eval 27.99 vs offline 27.09). Measuring
+    the actual needs removes the n-dependence entirely.
+    """
+    needs = np.asarray(needs)
+    n = int(needs.shape[0])
+    need_max = int(needs.max()) if n else 0
+    d = int(max_tiles_per_gaussian)
+    while d < need_max:
+        d *= 2
+    budgets = tuple(int(b) for b in tier_budgets if int(b) < d)
+    if not budgets:                       # flat layout: every row gets d
+        bound = n * d
+        n_clipped = 0
+        if bound > slot_limit:
+            d = max(1, slot_limit // max(n, 1))
+            n_clipped = int((needs > d).sum())
+        return d, (), (), n_clipped
+
+    counts = [int((needs > b).sum()) for b in budgets]
+    base = tuple(tier_fracs)[:len(budgets)] + (0.0,) * (len(budgets)
+                                                        - len(tier_fracs))
+    fracs = [min(1.0, max(f, margin * c / max(n, 1)))
+             for f, c in zip(base, counts)]
+    # counts are nested (needs>64 ⊆ needs>12 ⊆ needs>4) and base is
+    # non-increasing, so the elementwise max is non-increasing too.
+
+    def caps_of(fr):
+        return [min(n, max(512, int(n * f))) for f in fr]
+
+    bound = stream_instance_bound(n, d, budgets, fracs)
+    if bound > slot_limit:
+        # Scale the adaptive surplus back toward the caller's fracs until the
+        # bound fits; count what that clips instead of hiding it.
+        lo, hi = 0.0, 1.0
+        for _ in range(30):
+            mid = (lo + hi) / 2
+            trial = [b + mid * (a - b) for a, b in zip(fracs, base)]
+            if stream_instance_bound(n, d, budgets, trial) <= slot_limit:
+                lo = mid
+            else:
+                hi = mid
+        fracs = [b + lo * (a - b) for a, b in zip(fracs, base)]
+        caps = caps_of(fracs)
+        order = np.argsort(-needs, kind="stable")
+        assigned = np.full(n, budgets[0], np.int64)
+        ladder = list(budgets[1:]) + [d]
+        for cap, b in zip(caps, ladder):
+            assigned[order[:cap]] = b
+        n_clipped = int((needs > assigned).sum())
+    else:
+        n_clipped = 0
+    return d, budgets, tuple(fracs), n_clipped
+
+
 def rect_table(processed: Processed) -> jnp.ndarray:
     """[N, 8] f32 rect/cull row per Gaussian (binning's internal layout:
     rect_min, rect_max, mask, xy, cull_r2). Exposed so callers that already

@@ -427,6 +427,21 @@ def main():
     params, aux, scene, history = train(model_cfg, opt_cfg, pipe_cfg, run_cfg,
                                         log_fn=log)
     wall = time.time() - t0
+
+    # Retain the final model as an EXACT gzipped PLY (committable; the raw
+    # point_cloud/ tree is gitignored as heavy). Round-4 lesson: the
+    # specscale eval-gap investigation had no model left to re-render.
+    ply = os.path.join(args.out, "model", "point_cloud",
+                       f"iteration_{args.iterations}", "point_cloud.ply")
+    if os.path.exists(ply):
+        import gzip
+        import shutil
+        gz = os.path.join(args.out, "model", "point_cloud_final.ply.gz")
+        with open(ply, "rb") as fi, gzip.open(gz, "wb",
+                                              compresslevel=6) as fo:
+            shutil.copyfileobj(fi, fo)
+        log(f"retained exact final model: {gz} "
+            f"({os.path.getsize(gz) / 1e6:.1f} MB)")
     from mvs_gaussian_splatting_tpu.models.gaussians import num_alive
     summary = {
         "workload": f"{args.width}x{args.height}, {args.views} views, "

@@ -234,6 +234,22 @@ class TestPly:
         for k in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation"):
             np.testing.assert_allclose(back[k], comp[k], atol=1e-7, err_msg=k)
 
+    def test_gzip_roundtrip_is_exact(self, tmp_path):
+        # Retained-model path (.ply.gz): byte-identical payload, transparent
+        # via the same reader — validation runs commit the final model this
+        # way so it stays re-renderable across rounds.
+        params, aux = small_model()
+        comp = compact(params, aux)
+        path = str(tmp_path / "point_cloud_final.ply.gz")
+        plyio.save_gaussian_ply(path, comp)
+        back = plyio.load_gaussian_ply(path, max_sh_degree=3)
+        for k in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation"):
+            np.testing.assert_array_equal(back[k], np.asarray(comp[k]),
+                                          err_msg=k)
+        import gzip
+        assert open(path, "rb").read(2) == b"\x1f\x8b"
+        assert gzip.open(path, "rb").read(3) == b"ply"
+
     def test_point_cloud_roundtrip(self, tmp_path):
         rng = np.random.RandomState(0)
         xyz = rng.randn(50, 3).astype(np.float32)
