@@ -178,8 +178,14 @@ def main(argv=None):
                 os.path.join(model_cfg.model_path, "point_cloud"))
         except (FileNotFoundError, ValueError):
             iteration = -1
-    if iteration == -1 and os.path.exists(retained):
-        iteration = "final"
+    if iteration == -1:
+        if os.path.exists(retained):
+            iteration = "final"
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint under "
+                f"{os.path.join(model_cfg.model_path, 'point_cloud')} and no "
+                f"retained point_cloud_final.ply.gz — nothing to render")
     print(f"Rendering {model_cfg.model_path} at iteration {iteration}")
 
     scene = Scene(model_cfg, load_iteration=iteration, shuffle=False)

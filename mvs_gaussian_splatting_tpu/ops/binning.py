@@ -242,6 +242,25 @@ def adaptive_tier_layout(needs, max_tiles_per_gaussian: int, tier_budgets,
             else:
                 hi = mid
         fracs = [b + lo * (a - b) for a, b in zip(fracs, base)]
+        if stream_instance_bound(n, d, budgets, fracs) > slot_limit:
+            # Even the caller's base fracs exceed the limit (the bisection
+            # can only shrink toward them, not below, and never touches the
+            # n·budgets[0] floor term) — shrink the whole ladder uniformly.
+            s_lo, s_hi = 0.0, 1.0
+            for _ in range(30):
+                mid = (s_lo + s_hi) / 2
+                trial = [f * mid for f in fracs]
+                if stream_instance_bound(n, d, budgets, trial) <= slot_limit:
+                    s_lo = mid
+                else:
+                    s_hi = mid
+            fracs = [f * s_lo for f in fracs]
+            if stream_instance_bound(n, d, budgets, fracs) > slot_limit:
+                # still too big: the floor term n·budgets[0] alone exceeds
+                # the limit — drop to the flat-layout clamp
+                d_flat = max(1, slot_limit // max(n, 1))
+                n_clipped = int((needs > d_flat).sum())
+                return d_flat, (), (), n_clipped
         caps = caps_of(fracs)
         order = np.argsort(-needs, kind="stable")
         assigned = np.full(n, budgets[0], np.int64)

@@ -4,7 +4,7 @@
 # SAME saved model with the legacy fixed tiering vs adaptive budgets and
 # record both metric sets next to the loop eval. Serializes all TPU work in
 # one process chain (one TPU client at a time — CLAUDE.md).
-set -e
+set -e -o pipefail
 cd /root/repo
 OUT=${1:-runs/specadapt}
 
