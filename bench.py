@@ -172,6 +172,37 @@ def main():
     fps = 1.0 / dt
     mpix_s = (width * height) * fps / 1e6
     what = "forward-only" if forward else "fwd+bwd"
+
+    # Roofline/MFU figure (VERDICT r4 next #7): whole-step achieved HBM
+    # bandwidth and FLOP rate from the compiled program's own cost analysis,
+    # expressed against the v5e peaks (197 TFLOP/s bf16 MXU, 819 GB/s HBM).
+    # This workload is NOT matmul-shaped — the kernels sit at the VPU issue
+    # floor (PROFILE_FLOOR.md round-5 census: ~85-90% of the one-(8,128)-
+    # vop/cycle issue rate) and the XLA stages at the gather/scatter/sort
+    # rates — so the meaningful speed-of-light fraction is bytes-based:
+    # sol_fraction_hbm = achieved GB/s / 819. flops as reported by XLA
+    # undercount Pallas custom calls, noted in the field name.
+    util = {}
+    try:
+        comp = step.lower(means, log_scales, quats, opac_logit,
+                          shs).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        ba = float(ca.get("bytes accessed", 0.0))
+        fl = float(ca.get("flops", 0.0))
+        util = {
+            "hbm_gbytes_per_step": round(ba / 1e9, 3),
+            "achieved_hbm_gbps": round(ba / 1e9 / dt, 1),
+            "sol_fraction_hbm": round(ba / 1e9 / dt / 819.0, 4),
+            "xla_gflops_per_step_excl_pallas": round(fl / 1e9, 2),
+            "kernel_vpu_issue_util": ("~0.85-0.90 (op census vs one-"
+                                      "(8,128)-vop/cycle, PROFILE_FLOOR "
+                                      "round-5)"),
+        }
+    except Exception as e:
+        util = {"unavailable": str(e)}
+
     result = {
         "metric": "1080p_forward_fps" if forward else "1080p_fwdbwd_fps",
         "value": round(fps, 3),
@@ -183,6 +214,7 @@ def main():
             "device": str(jax.devices()[0]),
             "tile_capacity_overflow_entries": overflow,
             "ms_per_step": round(dt * 1000, 2),
+            "utilization": util,
         },
     }
     print(json.dumps(result))

@@ -119,6 +119,12 @@ class StreamBins(NamedTuple):
     # visible Gaussians dropped by RasterConfig.visible_cap truncation
     # (0 unless the caller enables visible-prefix compaction)
     overflow_visible: jnp.ndarray = np.zeros((), np.int32)
+    # measured per-frame tier demand: count of rows with rect area >
+    # tier_budgets[i] — feedback for scene-calibrated tier_fracs (round 5:
+    # the static (0.25, 0.1) fracs over-enumerate sort keys ~2x on dense
+    # close-up scenes like fern; a measured frac + margin trims the packed
+    # sort/enumeration without coverage loss, overflow_tiles still guards)
+    tier_counts: jnp.ndarray = np.zeros((0,), np.int32)
 
 
 def _tier_layout(n: int, max_tiles_per_gaussian: int, tier_budgets,
@@ -172,9 +178,14 @@ def auto_instance_cap(n: int, max_tiles_per_gaussian: int, tile_w: int,
     return cap + (-cap) % 128
 
 
+_FRAC_GRID = (0.0, 1 / 256, 1 / 128, 1 / 64, 1 / 32, 1 / 16, 1 / 8, 1 / 4,
+              1 / 2, 1.0)
+
+
 def adaptive_tier_layout(needs, max_tiles_per_gaussian: int, tier_budgets,
                          tier_fracs, margin: float = 1.1,
-                         slot_limit: int = 16_000_000):
+                         slot_limit: int = 16_000_000,
+                         quantize: bool = False):
     """Size a tier layout from MEASURED per-Gaussian tile needs so that no
     splat is clipped to a partial tile patch (offline-eval use).
 
@@ -225,6 +236,13 @@ def adaptive_tier_layout(needs, max_tiles_per_gaussian: int, tier_budgets,
              for f, c in zip(base, counts)]
     # counts are nested (needs>64 ⊆ needs>12 ⊆ needs>4) and base is
     # non-increasing, so the elementwise max is non-increasing too.
+    if quantize:
+        # round UP to a coarse power-of-two grid (coverage only grows) so
+        # jitted eval surfaces keyed on the layout recompile only when a
+        # tier crosses a bucket — applied BEFORE the slot-limit guard so
+        # every caller that quantizes makes identical clip decisions (the
+        # in-loop eval and cli/render must render the same image)
+        fracs = [next(q for q in _FRAC_GRID if f <= q) for f in fracs]
 
     def caps_of(fr):
         return [min(n, max(512, int(n * f))) for f in fr]
@@ -359,6 +377,10 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
         # rect coords carried as f32 (exact for values < 2^24)
         rect_ordered = rect_table(processed)[order]                # [N, 8]
     rect_o = rect_ordered
+    rect_oT = rect_o.T                         # [8, N]: enumeration works in
+    # attribute-major layout — [N, w] intermediates with w ∈ {4, 8, 20} are
+    # lane-padded to 128 on TPU (up to 32× memory traffic); [w, N] tiles
+    # cleanly. Measured: 9.4 → 4.7 ms at the 1080p/200K load (exp_binning2).
     rect_min = rect_o[:, 0:2].astype(jnp.int32)
     rect_max = rect_o[:, 2:4].astype(jnp.int32)
     mask_o = rect_o[:, 4] > 0
@@ -370,24 +392,42 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     tile_bits = (t_out + 1 - 1).bit_length()
     packed = rank_bits + tile_bits <= 31
     sentinel = ((t_out << rank_bits) if packed else t_out)
+    # f32-reciprocal div: floor((j+0.5)·(1/sx)) == j // sx exactly while
+    # j, sx < 2^12 (the +0.5 keeps the product mid-interval, so the 2^-24
+    # reciprocal error can't cross a floor boundary). Integer div/mod by a
+    # runtime vector is a multi-op software sequence on the VPU.
+    assert d <= 4096, "f32-reciprocal tile div requires budgets < 2^12"
 
-    def enumerate_tier(rows, lo: int, hi: int, row_area, row_rect):
+    def enumerate_tier(rows, lo: int, hi: int, row_area, row_rectT):
         """Instance keys for tile slots j∈[lo,hi) of the Gaussians in
-        ``rows`` (depth-rank indices). Returns flat key/tile/rank arrays."""
-        j = lo + jnp.arange(hi - lo, dtype=jnp.int32)
-        rmin = row_rect[:, 0:2].astype(jnp.int32)
-        rmax = row_rect[:, 2:4].astype(jnp.int32)
-        sx = jnp.maximum(jnp.maximum(rmax[:, 0] - rmin[:, 0], 0), 1)
-        ty = rmin[:, 1, None] + j[None, :] // sx[:, None]
-        tx = rmin[:, 0, None] + j[None, :] % sx[:, None]
-        valid = j[None, :] < jnp.minimum(row_area, hi)[:, None]
-        valid &= _tile_in_level_set(row_rect[:, 5:7], row_rect[:, 7], tx, ty,
-                                    tile_w, tile_h)
+        ``rows`` (depth-rank indices). row_rectT is [8, M] (transposed);
+        returns flat [(hi-lo)·M] key/tile/rank arrays (slot-major — order
+        is irrelevant: the packed key carries (tile, rank) fully and rank
+        is a real sort key in the unpacked fallback)."""
+        j = (lo + jnp.arange(hi - lo, dtype=jnp.int32))[:, None]   # [w, 1]
+        rminx = row_rectT[0:1, :].astype(jnp.int32)
+        rminy = row_rectT[1:2, :].astype(jnp.int32)
+        rmaxx = row_rectT[2:3, :].astype(jnp.int32)
+        sx = jnp.maximum(jnp.maximum(rmaxx - rminx, 0), 1)
+        q = jnp.floor((j.astype(jnp.float32) + 0.5)
+                      / sx.astype(jnp.float32)).astype(jnp.int32)
+        ty = rminy + q
+        tx = rminx + (j - q * sx)
+        valid = j < jnp.minimum(row_area, hi)[None, :]
+        x, y = row_rectT[5:6, :], row_rectT[6:7, :]
+        cull_r2 = row_rectT[7:8, :]
+        tx_px = tx.astype(jnp.float32) * tile_w
+        ty_px = ty.astype(jnp.float32) * tile_h
+        ddx = jnp.maximum(jnp.maximum(tx_px - x, x - (tx_px + tile_w - 1)),
+                          0.0)
+        ddy = jnp.maximum(jnp.maximum(ty_px - y, y - (ty_px + tile_h - 1)),
+                          0.0)
+        valid &= ddx * ddx + ddy * ddy <= cull_r2
         tid = (ty * tiles_x + tx).astype(jnp.int32)
         if round_robin:
             tid = (tid % round_robin) * t_per_rr + tid // round_robin
         tid = jnp.where(valid, tid, t_out)
-        rk = jnp.broadcast_to(rows[:, None], tid.shape)
+        rk = jnp.broadcast_to(rows[None, :], tid.shape)
         if packed:
             key = jnp.where(valid, (tid << rank_bits) | rk, sentinel)
             return key.reshape(-1), None
@@ -395,19 +435,33 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
 
     budgets, caps = _tier_layout(n, d, tier_budgets, tier_fracs)
     if budgets:
-        aorder = jnp.argsort(-area, stable=True).astype(jnp.int32)
-        area_sorted = area[aorder]
+        # Area ranking as ONE packed-key sort: area ≤ num_tiles, so
+        # ((maxa − area) << rank_bits) | idx sorts area-descending with
+        # index tiebreak — identical order to stable argsort(-area), no
+        # payload operand, and area_sorted unpacks from the key (saves the
+        # [N] element gather area[aorder]).
+        area_bits = num_tiles.bit_length()
+        if rank_bits + area_bits <= 31:
+            maxa = jnp.int32(num_tiles)
+            akey = ((maxa - area) << rank_bits) | jnp.arange(
+                n, dtype=jnp.int32)
+            (asorted,) = jax.lax.sort((akey,), num_keys=1, is_stable=False)
+            aorder = (asorted & ((1 << rank_bits) - 1)).astype(jnp.int32)
+            area_sorted = maxa - (asorted >> rank_bits)
+        else:
+            aorder = jnp.argsort(-area, stable=True).astype(jnp.int32)
+            area_sorted = area[aorder]
         bounds = [0] + budgets + [d]           # tier j-ranges
         tiles_flat, ranks_flat = [], []
         rows0 = jnp.arange(n, dtype=jnp.int32)
         for t, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
             if t == 0:
-                k, r = enumerate_tier(rows0, lo, hi, area, rect_o)
+                k, r = enumerate_tier(rows0, lo, hi, area, rect_oT)
             else:
                 m = caps[t - 1]
                 rows = aorder[:m]
                 k, r = enumerate_tier(rows, lo, hi, area_sorted[:m],
-                                      rect_o[rows])
+                                      rect_oT[:, rows])
             tiles_flat.append(k)
             ranks_flat.append(r)
         tile_or_key = jnp.concatenate(tiles_flat)
@@ -420,30 +474,34 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
         overflow_tiles = jnp.maximum(area_sorted - bud, 0).sum().astype(jnp.int32)
     else:
         k, r = enumerate_tier(jnp.arange(n, dtype=jnp.int32), 0, d, area,
-                              rect_o)
+                              rect_oT)
         tile_or_key, rank_flat = k, r
         overflow_tiles = jnp.maximum(area - d, 0).sum().astype(jnp.int32)
 
     if packed:
         # One packed key, no payload operand: halves sort data movement.
-        # Instances are enumerated in depth order, so the rank low bits give
-        # exactly the stable (tile, depth) order of a 2-key sort.
+        # Rank low bits make every key unique, so the non-stable single-key
+        # sort reproduces the stable (tile, depth) order of a 2-key sort.
         (sorted_key,) = jax.lax.sort((tile_or_key,), num_keys=1,
                                      is_stable=False)
-        sorted_rank = sorted_key & ((1 << rank_bits) - 1)
+        sorted_rank = None                     # sliced from sorted_key below
         bound = lambda t: (t << rank_bits).astype(jnp.int32)
+        sorted_for_search = sorted_key
     else:
-        # Tier blocks are not globally depth-ordered, so rank must be a real
-        # sort key (2-key sort), not recovered from enumeration stability.
+        # Unique (tile, rank) pairs again; rank is a real second sort key.
         sorted_tile, sorted_rank = jax.lax.sort(
             (tile_or_key, rank_flat), num_keys=2, is_stable=False)
-        sorted_key = sorted_tile
         bound = lambda t: t.astype(jnp.int32) if hasattr(t, "astype") else jnp.int32(t)
+        sorted_for_search = sorted_tile
 
+    # Segment offsets via searchsorted probes (a sorted-histogram scatter +
+    # cumsum variant measured 2x SLOWER in context on hardware despite a
+    # faster isolated micro-time — exp_binning4, round 5; don't reopen
+    # without an in-context measurement).
     tile_range = jnp.arange(t_out, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(sorted_key, bound(tile_range),
+    seg_start = jnp.searchsorted(sorted_for_search, bound(tile_range),
                                  side="left").astype(jnp.int32)
-    n_valid = jnp.searchsorted(sorted_key, bound(jnp.int32(t_out)),
+    n_valid = jnp.searchsorted(sorted_for_search, bound(jnp.int32(t_out)),
                                side="left").astype(jnp.int32)
     seg_end = jnp.concatenate([seg_start[1:], n_valid[None]])
     counts_raw = seg_end - seg_start
@@ -459,17 +517,29 @@ def bin_instances_stream(processed: Processed, tiles_x: int, tiles_y: int,
     seg_start = jnp.minimum(seg_start, cap)
 
     total = cap + chunk  # slack for the last tile's chunk-granular DMA spill
-    m = sorted_rank.shape[0]
-    if m >= total:
-        sr = sorted_rank[:total]
+    if packed:
+        # slice BEFORE unmasking the rank bits — no pass over the tail
+        m = sorted_key.shape[0]
+        sk = sorted_key[:total] if m >= total else jnp.pad(
+            sorted_key, (0, total - m), constant_values=sentinel)
+        sr = sk & ((1 << rank_bits) - 1)
     else:
-        sr = jnp.pad(sorted_rank, (0, total - m))
+        m = sorted_rank.shape[0]
+        sr = (sorted_rank[:total] if m >= total
+              else jnp.pad(sorted_rank, (0, total - m)))
     q = jnp.arange(total, dtype=jnp.int32)
     valid_q = q < jnp.minimum(n_valid, cap)
     inst_rank = jnp.where(valid_q, sr, 0)
+
+    if budgets:
+        tier_counts = jnp.stack([(area > b).sum().astype(jnp.int32)
+                                 for b in budgets])
+    else:
+        tier_counts = jnp.zeros((0,), jnp.int32)
 
     return StreamBins(inst_rank=inst_rank, inst_valid=valid_q, order=order,
                       seg_start=seg_start, counts=counts,
                       counts_raw=counts_raw,
                       overflow_tiles=overflow_tiles,
-                      overflow_capacity=overflow_capacity)
+                      overflow_capacity=overflow_capacity,
+                      tier_counts=tier_counts)

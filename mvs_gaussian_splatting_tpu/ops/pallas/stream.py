@@ -36,6 +36,8 @@ CHUNK = 128
 ROWS = 16
 PREFETCH = True  # double-buffered DMA prefetch (module flag for debugging)
 TILE_BATCH = 8   # tiles per grid step (amortizes ~1.5µs/step pipeline cost)
+FAST_BWD_HILO = True  # hi+lo bf16 split of dpower in the moment matmul
+# (True: moments near-f32; False: one-pass bf16, ~0.4% moment rounding)
 
 
 def _pixel_grid(tile_id, tiles_x: int, tile_w: int, tile_h: int, p: int):
@@ -233,7 +235,13 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
 
     def one_tile(b, s):
         t = pid * tile_batch + b
-        px, py = _pixel_grid(ids_ref[t], tiles_x, tile_w, tile_h, p)
+        tile_id = ids_ref[t]
+        px, py = _pixel_grid(tile_id, tiles_x, tile_w, tile_h, p)
+        # tile-center origin for the fast-mode MXU moment reduction:
+        # centered pixel coords are integers in [-tile/2, tile/2) whose
+        # squares/products stay <= 256, all exactly representable in bf16
+        ox = ((tile_id % tiles_x) * tile_w + tile_w // 2).astype(jnp.float32)
+        oy = ((tile_id // tiles_x) * tile_h + tile_h // 2).astype(jnp.float32)
         base, off, count, n_chunks = _seg_meta(start_ref, count_ref, t)
         t_max = start_ref.shape[0]
         nbase, _, _, nn = _seg_meta(start_ref, count_ref,
@@ -248,7 +256,7 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
 
         return _bwd_tile(attrs_ref, gattrs_ref,
                          buf, gbuf, gprev, sem, gsem, psem,
-                         px, py, off, base, n_chunks, count,
+                         px, py, ox, oy, off, base, n_chunks, count,
                          g_out, t_fin, g_tfin_ext, g_dot_out, p,
                          s, issue_next, nbase, fast)
 
@@ -257,7 +265,7 @@ def _stream_bwd_kernel(start_ref, count_ref, ids_ref, attrs_ref, bg_ref,
 
 def _bwd_tile(attrs_ref, gattrs_ref,
               buf, gbuf, gprev, sem, gsem, psem,
-              px, py, off, base, n_chunks, count,
+              px, py, ox, oy, off, base, n_chunks, count,
               g_out, t_fin, g_tfin_ext, g_dot_out, p,
               s, issue_next, nbase, fast: bool = False):
     def dma_in_at(b_, c, slot):
@@ -290,6 +298,18 @@ def _bwd_tile(attrs_ref, gattrs_ref,
         pltpu.make_async_copy(gattrs_ref.at[:, pl.ds(base, CHUNK)],
                               gprev, psem).start()
 
+    if fast:
+        # loop-invariant LHS of the per-chunk moment matmul, built OUTSIDE
+        # the chunk loop (while bodies get no LICM; [P,1]-shaped ops cost
+        # like full-width ops on the VPU)
+        pxl = px - ox                                       # [P, 1] ints
+        pyl = py - oy
+        mom_lhs = jnp.concatenate(
+            [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl,
+             pyl * pyl, g_out], axis=1)                     # [P, 9]
+    else:
+        mom_lhs = None
+
     def body(state):
         c, t_mono, prefix = state
         slot = (s + c) & 1
@@ -318,10 +338,12 @@ def _bwd_tile(attrs_ref, gattrs_ref,
         w = jnp.where(include, alpha * t_excl, 0.0)
         rgb_t = buf[slot][6:9, :]                              # [3, CK]
 
-        # dL/drgb: [3, CK] = Σ_p g_out[p,c]·w[p,k], per channel (VPU exact)
-        g_rgb = jnp.concatenate(
-            [jnp.sum(g_out[:, c:c + 1] * w, axis=0, keepdims=True)
-             for c in range(3)], axis=0)
+        # dL/drgb: [3, CK] = Σ_p g_out[p,c]·w[p,k], per channel (VPU exact;
+        # fast mode folds this into the MXU moment matmul below)
+        if not fast:
+            g_rgb = jnp.concatenate(
+                [jnp.sum(g_out[:, c:c + 1] * w, axis=0, keepdims=True)
+                 for c in range(3)], axis=0)
         # Σ_c g_c rgb_k,c  [P, CK]
         g_dot_rgb = sum(g_out[:, c:c + 1] * rgb_t[c:c + 1, :]
                         for c in range(3))
@@ -336,21 +358,63 @@ def _bwd_tile(attrs_ref, gattrs_ref,
             - g_tfin_ext * t_fin / one_minus,
             0.0)
         not_clamped = (op * g) < 0.99
-        dop = jnp.where(not_clamped, dalpha * g, 0.0)
         dpower = dalpha * jnp.where(not_clamped, op, 0.0) * g
-        dxp = dpower * (-(ca * dx + cb * dy))
-        dyp = dpower * (-(cc * dy + cb * dx))
-        dca = dpower * (-0.5 * dx * dx)
-        dcb = dpower * (-dx * dy)
-        dcc = dpower * (-0.5 * dy * dy)
+        if fast:
+            # MXU moment reduction (fast mode only; exact mode keeps the
+            # f32 VPU sublane reductions for oracle grad parity). All six
+            # per-entry gradients are polynomial in (dx, dy) = (xl−pxl,
+            # yl−pyl) with per-PIXEL factors only in pxl powers, so the
+            # pixel sums collapse to six moments Σ_p dpower·φ_m(p), φ ∈
+            # {1, pxl, pyl, pxl², pxl·pyl, pyl²} — one [P,9]ᵀ[P,3·CK]
+            # matmul (with g_rgb riding along) instead of 9 sublane
+            # reductions + 5 full-width gradient chains. Tile-centered
+            # integer pixel coords keep every φ entry bf16-exact; dpower
+            # goes through the MXU as a hi+lo bf16 pair (Mosaic feeds the
+            # MXU bf16 regardless), bounding the moment error near f32.
+            if FAST_BWD_HILO:
+                dp_hi = dpower.astype(jnp.bfloat16).astype(jnp.float32)
+                dp_lo = dpower - dp_hi
+                rhs = jnp.concatenate([dp_hi, dp_lo, w], axis=1)  # [P, 3·CK]
+                prod = jax.lax.dot_general(
+                    mom_lhs, rhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [9, 3·CK]
+                mom = prod[:6, :CHUNK] + prod[:6, CHUNK:2 * CHUNK]
+                g_rgb_m = prod[6:9, 2 * CHUNK:]
+            else:
+                rhs = jnp.concatenate([dpower, w], axis=1)  # [P, 2·CK]
+                prod = jax.lax.dot_general(
+                    mom_lhs, rhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [9, 2·CK]
+                mom = prod[:6, :CHUNK]
+                g_rgb_m = prod[6:9, CHUNK:]
+            s0, s1x, s1y = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+            s2xx, s2xy, s2yy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+            xl = buf[slot][0:1, :] - ox                     # [1, CK]
+            yl = buf[slot][1:2, :] - oy
+            mx = xl * s0 - s1x
+            my = yl * s0 - s1y
+            gbuf[slot, 0:1, :] = -(ca * mx + cb * my)
+            gbuf[slot, 1:2, :] = -(cc * my + cb * mx)
+            gbuf[slot, 2:3, :] = -0.5 * (xl * mx - xl * s1x + s2xx)
+            gbuf[slot, 3:4, :] = -(xl * my - yl * s1x + s2xy)
+            gbuf[slot, 4:5, :] = -0.5 * (yl * my - yl * s1y + s2yy)
+            gbuf[slot, 5:6, :] = jnp.where(op > 0.0, s0 / op, 0.0)
+            gbuf[slot, 6:9, :] = g_rgb_m
+        else:
+            dop = jnp.where(not_clamped, dalpha * g, 0.0)
+            dxp = dpower * (-(ca * dx + cb * dy))
+            dyp = dpower * (-(cc * dy + cb * dx))
+            dca = dpower * (-0.5 * dx * dx)
+            dcb = dpower * (-dx * dy)
+            dcc = dpower * (-0.5 * dy * dy)
 
-        gbuf[slot, 0:1, :] = jnp.sum(dxp, axis=0, keepdims=True)
-        gbuf[slot, 1:2, :] = jnp.sum(dyp, axis=0, keepdims=True)
-        gbuf[slot, 2:3, :] = jnp.sum(dca, axis=0, keepdims=True)
-        gbuf[slot, 3:4, :] = jnp.sum(dcb, axis=0, keepdims=True)
-        gbuf[slot, 4:5, :] = jnp.sum(dcc, axis=0, keepdims=True)
-        gbuf[slot, 5:6, :] = jnp.sum(dop, axis=0, keepdims=True)
-        gbuf[slot, 6:9, :] = g_rgb
+            gbuf[slot, 0:1, :] = jnp.sum(dxp, axis=0, keepdims=True)
+            gbuf[slot, 1:2, :] = jnp.sum(dyp, axis=0, keepdims=True)
+            gbuf[slot, 2:3, :] = jnp.sum(dca, axis=0, keepdims=True)
+            gbuf[slot, 3:4, :] = jnp.sum(dcb, axis=0, keepdims=True)
+            gbuf[slot, 4:5, :] = jnp.sum(dcc, axis=0, keepdims=True)
+            gbuf[slot, 5:6, :] = jnp.sum(dop, axis=0, keepdims=True)
+            gbuf[slot, 6:9, :] = g_rgb
         gbuf[slot, 9:, :] = jnp.zeros((ROWS - 9, CHUNK), jnp.float32)
 
         # First window: preserve the previous tile's gradients in the shared

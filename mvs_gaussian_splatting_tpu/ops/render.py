@@ -78,4 +78,7 @@ def render(camera: CameraView, image_width: int, image_height: int,
         "instance_load": aux["tile_counts"].sum(),
         # per-camera visible count — visible_cap bucket feedback (round 4)
         "n_mask_visible": aux.get("n_mask_visible", 0),
+        # per-frame tier demand — tier_fracs calibration feedback (round 5)
+        "tier_need_counts": aux.get("tier_need_counts",
+                                    jnp.zeros((0,), jnp.int32)),
     }

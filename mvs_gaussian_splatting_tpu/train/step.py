@@ -40,6 +40,9 @@ class StepMetrics(NamedTuple):
     # current cap dropped (grow signal — never silent)
     mask_visible: jnp.ndarray = np.zeros((), np.int32)
     overflow_visible: jnp.ndarray = np.zeros((), np.int32)
+    # per-frame tier demand (count of rows needing > tier_budgets[i] slots)
+    # — feedback for scene-calibrated tier_fracs (round 5)
+    tier_need_counts: jnp.ndarray = np.zeros((0,), np.int32)
 
 
 def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
@@ -48,11 +51,11 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
 
     @partial(jax.jit,
              static_argnames=("width", "height", "sh_degree", "render_n",
-                              "instance_cap", "visible_cap"))
+                              "instance_cap", "visible_cap", "tier_fracs"))
     def train_step(params: GaussianParams, adam: AdamState, aux: GaussianAux,
                    camera, gt, bg, step, do_stats, *, width: int, height: int,
                    sh_degree: int, render_n: int = 0, instance_cap: int = 0,
-                   visible_cap: int = 0):
+                   visible_cap: int = 0, tier_fracs: tuple = ()):
         """``render_n`` (static): 0 = render the full capacity; otherwise the
         loop guarantees (via models.gaussians.compact_state after every
         densify round) that all alive slots sit in [:render_n], and only that
@@ -76,6 +79,10 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
               if instance_cap else raster_cfg)
         if visible_cap:
             rc = rc._replace(visible_cap=visible_cap)
+        if tier_fracs:
+            # scene-calibrated tier prefixes (measured tier_need_counts +
+            # margin); overflow_tiles still counts any residual shortfall
+            rc = rc._replace(tier_fracs=tier_fracs)
         capacity = params.xyz.shape[0]
         n_render = render_n if render_n else capacity
 
@@ -132,7 +139,9 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
                               mask_visible=jnp.asarray(
                                   out["n_mask_visible"], jnp.int32),
                               overflow_visible=jnp.asarray(
-                                  out["overflow_visible"], jnp.int32))
+                                  out["overflow_visible"], jnp.int32),
+                              tier_need_counts=jnp.asarray(
+                                  out["tier_need_counts"], jnp.int32))
         return new_params, new_adam, new_aux, metrics
 
     return train_step
@@ -140,13 +149,21 @@ def make_train_step(opt_cfg, raster_cfg: RasterConfig, spatial_lr_scale: float):
 
 def make_eval_render(raster_cfg: RasterConfig):
     @partial(jax.jit,
-             static_argnames=("width", "height", "sh_degree", "render_n"))
+             static_argnames=("width", "height", "sh_degree", "render_n",
+                              "instance_cap", "tier_layout"))
     def eval_render(params, alive, camera, bg, *, width: int, height: int,
-                    sh_degree: int, render_n: int = 0):
+                    sh_degree: int, render_n: int = 0, instance_cap: int = 0,
+                    tier_layout=None):
         m = render_n if render_n else params.xyz.shape[0]
+        rc = (raster_cfg._replace(instance_cap=instance_cap)
+              if instance_cap else raster_cfg)
+        if tier_layout is not None:
+            d, budgets, fracs = tier_layout
+            rc = rc._replace(max_tiles_per_gaussian=d, tier_budgets=budgets,
+                             tier_fracs=fracs)
         ps = jax.tree.map(lambda a: a[:m], params)
         out = render(camera, width, height, ps, bg, sh_degree=sh_degree,
-                     alive=alive[:m], raster_config=raster_cfg)
+                     alive=alive[:m], raster_config=rc)
         return jnp.clip(out["render"], 0.0, 1.0)
     return eval_render
 
@@ -155,17 +172,34 @@ def make_eval_metrics(raster_cfg: RasterConfig):
     """Jitted per-view eval returning (L1, PSNR) device scalars — the
     training-report sweep (train.py:210-236) uses this instead of fetching
     whole images: the loop dispatches every view asynchronously and does ONE
-    host transfer of the stacked scalars at the end."""
+    host transfer of the stacked scalars at the end.
+
+    ``instance_cap`` (static): the loop passes the exact tier-enumeration
+    bound for the render bucket (loop.eval_instance_cap) so the widened
+    eval budgets can never hit global capacity overflow.
+
+    ``tier_layout`` (static): optional (d, budgets, fracs) override — the
+    loop passes a measured-needs adaptive layout (quantized for compile
+    stability) so reported metrics come from a CLIP-FREE render, exactly
+    the operator cli/render's --adaptive_budgets offline chain uses."""
     from ..utils.losses import psnr as psnr_fn
 
     @partial(jax.jit,
-             static_argnames=("width", "height", "sh_degree", "render_n"))
+             static_argnames=("width", "height", "sh_degree", "render_n",
+                              "instance_cap", "tier_layout"))
     def eval_metrics(params, alive, camera, gt, bg, *, width: int,
-                     height: int, sh_degree: int, render_n: int = 0):
+                     height: int, sh_degree: int, render_n: int = 0,
+                     instance_cap: int = 0, tier_layout=None):
         m = render_n if render_n else params.xyz.shape[0]
+        rc = (raster_cfg._replace(instance_cap=instance_cap)
+              if instance_cap else raster_cfg)
+        if tier_layout is not None:
+            d, budgets, fracs = tier_layout
+            rc = rc._replace(max_tiles_per_gaussian=d, tier_budgets=budgets,
+                             tier_fracs=fracs)
         ps = jax.tree.map(lambda a: a[:m], params)
         out = render(camera, width, height, ps, bg, sh_degree=sh_degree,
-                     alive=alive[:m], raster_config=raster_cfg)
+                     alive=alive[:m], raster_config=rc)
         img = jnp.clip(out["render"], 0.0, 1.0)
         gtc = jnp.clip(gt, 0.0, 1.0)
         return l1_loss(img, gtc), psnr_fn(img, gtc)[0]

@@ -146,7 +146,7 @@ def test_gather_inst_rows_custom_vjp():
         return (jnp.where(valid[:, None], t[rank], 0.0) * wts).sum()
 
     def custom(t):
-        return (_gather_inst_rows(t, rank, valid) * wts).sum()
+        return (_gather_inst_rows(t, rank, valid).T * wts).sum()
 
     np.testing.assert_allclose(float(custom(table)), float(plain(table)),
                                rtol=1e-6)

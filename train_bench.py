@@ -120,13 +120,22 @@ def main():
     # time at this workload after the separable-SSIM fix).
     salt = (time.time_ns() % 997) * 1e-9
     params = params._replace(xyz=means + salt)
+    # NB: every step_fn call below passes instance_cap/visible_cap/
+    # tier_fracs EXPLICITLY — jax.jit's cache key distinguishes a defaulted
+    # static kwarg from an explicitly-passed equal value, so a mixed calling
+    # style compiles duplicate programs (one landed INSIDE the timed loop:
+    # 28 s of compile amortized into the 20-step window read as 1.4 s/step,
+    # round 5).
     params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
                                    jnp.int32(20_000), jnp.bool_(True),
-                                   width=width, height=height, sh_degree=3)
+                                   width=width, height=height, sh_degree=3,
+                                   instance_cap=0, visible_cap=0,
+                                   tier_fracs=())
     # calibrate the static instance cap to the measured load (the train
     # loop's _instance_bucket feedback, one-shot here); overflow ⇒ auto
     inst_cap = 0
     vis_cap = 0
+    tier_fracs = ()
     if backend == "stream":
         load = int(m.instance_load)
         inst_cap = load + int(0.12 * load)
@@ -136,21 +145,40 @@ def main():
             vis_cap = int(int(m.mask_visible) * 1.15)
             if vis_cap >= n:
                 vis_cap = 0
+        # scene-calibrated tier prefixes from the measured per-frame tier
+        # demand (round 5): the static (0.25, 0.1) fracs over-enumerate the
+        # packed sort on dense scenes; counts + margin keep coverage (the
+        # overflow_tiles counter below guards regressions)
+        counts = [int(c) for c in np.asarray(m.tier_need_counts)]
+        if counts:
+            # fracs are applied against the row count binning actually
+            # sees — the visible-cap prefix when compaction is on, not N
+            n_rows = vis_cap if vis_cap else n
+            tier_fracs = tuple(min(1.0, 1.15 * c / n_rows) for c in counts)
+    base_overflow_tiles = int(m.overflow_tiles)
     for _ in range(2):  # compile + warm the calibrated program
         params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
                                        jnp.int32(20_000), jnp.bool_(True),
                                        width=width, height=height,
                                        sh_degree=3, instance_cap=inst_cap,
-                                       visible_cap=vis_cap)
-    if inst_cap and (int(m.overflow_capacity) > 0
-                     or int(m.overflow_visible) > 0):
+                                       visible_cap=vis_cap,
+                                       tier_fracs=tier_fracs)
+    # tolerance: overflow_tiles drifts a few counts step-to-step (the warm
+    # steps' Adam updates move splats across tier thresholds) — only treat a
+    # MATERIAL increase as calibration-induced clipping
+    ovf_tol = base_overflow_tiles + max(256, base_overflow_tiles // 10)
+    if (inst_cap or tier_fracs) and (
+            int(m.overflow_capacity) > 0 or int(m.overflow_visible) > 0
+            or int(m.overflow_tiles) > ovf_tol):
         inst_cap = 0
         vis_cap = 0
+        tier_fracs = ()
         for _ in range(2):
             params, adam, aux, m = step_fn(params, adam, aux, cam, gt, bg,
                                            jnp.int32(20_000), jnp.bool_(True),
                                            width=width, height=height,
-                                           sh_degree=3, instance_cap=inst_cap)
+                                           sh_degree=3, instance_cap=0,
+                                           visible_cap=0, tier_fracs=())
     float(m.loss)
 
     iters = 20
@@ -160,7 +188,8 @@ def main():
                                        jnp.int32(20_000), jnp.bool_(True),
                                        width=width, height=height,
                                        sh_degree=3, instance_cap=inst_cap,
-                                       visible_cap=vis_cap)
+                                       visible_cap=vis_cap,
+                                       tier_fracs=tier_fracs)
     float(m.loss)           # terminal value fetch anchors the whole chain
     dt = (time.perf_counter() - t0) / iters
 
