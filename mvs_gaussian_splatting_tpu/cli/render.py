@@ -57,15 +57,9 @@ def eval_raster_config(pipe_cfg, n_gaussians: int = 0):
     whole tiles, tile-major) is impossible by construction — the a-priori
     auto heuristic undersizes for big-splat models and cost ~4 dB on the
     first corrected render of runs/cleanscale."""
-    cfg = raster_config_from_pipe(pipe_cfg)._replace(fast_math=False)
-    if cfg.max_tiles_per_gaussian < 512:
-        cfg = cfg._replace(max_tiles_per_gaussian=512)
-    # () is the FLAT layout: every Gaussian already gets the full
-    # max_tiles_per_gaussian budget — more generous than any tiering, so
-    # leave it alone; only widen 1/2-tier layouts whose top tier is tight.
-    if len(cfg.tier_budgets) in (1, 2):
-        cfg = cfg._replace(tier_budgets=(4, 12, 64),
-                           tier_fracs=(0.25, 0.1, 0.01))
+    from ..ops.rasterize import widen_eval_budgets
+    cfg = widen_eval_budgets(
+        raster_config_from_pipe(pipe_cfg)._replace(fast_math=False))
     if n_gaussians:
         from ..ops.binning import stream_instance_bound
         bound = stream_instance_bound(n_gaussians, cfg.max_tiles_per_gaussian,
@@ -123,7 +117,8 @@ def adaptive_eval_config(cfg, needs: np.ndarray, log=print):
     budgets_in = cfg.tier_budgets or (4, 12, 64)
     fracs_in = cfg.tier_fracs if cfg.tier_budgets else (0.0, 0.0, 0.0)
     d, budgets, fracs, n_clipped = adaptive_tier_layout(
-        needs, cfg.max_tiles_per_gaussian, budgets_in, fracs_in)
+        needs, cfg.max_tiles_per_gaussian, budgets_in, fracs_in,
+        quantize=True)
     if n_clipped:
         log(f"WARNING: adaptive budgets hit the slot limit — {n_clipped} "
             f"Gaussians render with fewer tiles than they need")

@@ -47,14 +47,58 @@ def raster_config_from_pipe(pipe: PipelineConfig) -> RasterConfig:
 
 
 def eval_config(raster_cfg: RasterConfig) -> RasterConfig:
-    """The single source of the eval-exactness invariant: every surface that
+    """The single source of the eval invariants: every surface that
     produces user-visible images or reported metrics (in-loop eval sweeps,
     val-image dumps, the viewer frame path; cli/render goes through
-    eval_raster_config which applies the same rule) composites in EXACT mode.
-    fast_math is a train-time speed/accuracy trade (~1e-3 pixel error,
-    BASELINE.md) and must never contaminate reported PSNR.
-    tests/test_eval_exact.py locks this invariant."""
-    return raster_cfg._replace(fast_math=False)
+    eval_raster_config which applies the same rules) composites in EXACT
+    mode AND with the generous full-footprint tile budgets
+    (ops.rasterize.widen_eval_budgets). fast_math is a train-time
+    speed/accuracy trade (~1e-3 pixel error, BASELINE.md); the tight train
+    budgets are a train-time perf trade the model co-adapts to — neither
+    may contaminate reported PSNR (round 5: the loop evaluating with train
+    budgets read 0.34 dB above the offline render of the same model —
+    runs/specadapt). tests/test_eval_exact.py locks this invariant."""
+    from ..ops.rasterize import widen_eval_budgets
+    return widen_eval_budgets(raster_cfg._replace(fast_math=False))
+
+
+def eval_instance_cap(n_rows: int, eval_cfg: RasterConfig) -> int:
+    """Exact tier-enumeration bound for an eval render over ``n_rows`` rows
+    (CHUNK-aligned): makes GLOBAL capacity overflow impossible by
+    construction, mirroring cli/render.eval_raster_config's cap rule."""
+    from ..ops.binning import stream_instance_bound
+    bound = stream_instance_bound(n_rows, eval_cfg.max_tiles_per_gaussian,
+                                  eval_cfg.tier_budgets, eval_cfg.tier_fracs)
+    return bound + (-bound) % 128
+
+
+def adaptive_eval_layout(params, aux, cameras, eval_cfg: RasterConfig,
+                         n_rows: int):
+    """((d, budgets, fracs), instance_cap) for a CLIP-FREE in-loop eval.
+
+    Measures per-Gaussian tile needs over the eval cameras (preprocess-only
+    sweep, cli/render.measure_tile_needs) and sizes the tier layout so no
+    splat loses tiles — the same operator as cli/render's adaptive offline
+    chain, so history.json PSNR and offline results.json agree on the same
+    model by construction (any two unclipped layouts render identical
+    images; round 5 closed the 0.34 dB residual here). Fracs are rounded UP
+    to a coarse power-of-two grid so the jitted eval only recompiles when a
+    tier crosses a bucket, not on every needs drift."""
+    from ..cli.render import measure_tile_needs
+    from ..ops.binning import adaptive_tier_layout, stream_instance_bound
+    p = jax.tree.map(lambda a: a[:n_rows], params)
+    needs = measure_tile_needs(p, cameras, eval_cfg.tile_w, eval_cfg.tile_h)
+    # dead slots never render (alive-masked in the eval) — their projected
+    # rects must not inflate the layout
+    needs = np.where(np.asarray(aux.alive[:n_rows]), needs, 0)
+    d, budgets, fracs, n_clipped = adaptive_tier_layout(
+        needs, eval_cfg.max_tiles_per_gaussian, eval_cfg.tier_budgets,
+        eval_cfg.tier_fracs, quantize=True)
+    if n_clipped:
+        print(f"WARNING: eval adaptive budgets hit the slot limit — "
+              f"{n_clipped} Gaussians render clipped")
+    bound = stream_instance_bound(n_rows, d, budgets, fracs)
+    return (d, tuple(budgets), tuple(fracs)), bound + (-bound) % 128
 
 
 def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
@@ -498,11 +542,24 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                        ("train", [train_all[idx % len(train_all)]
                                   for idx in range(5, 30, 5)]
                         if train_all else [])]
+            e_layout, e_cap = None, 0
+            test_layout, test_cap = None, 0
             for split, cams in configs:
                 if not cams:
                     continue
+                if stream_caps:
+                    # per-SPLIT layout: the test split's measured needs (and
+                    # therefore its clip-free operator) must match what
+                    # cli/render computes for the same split, so
+                    # history.json PSNR == offline results.json by
+                    # construction
+                    e_layout, e_cap = adaptive_eval_layout(
+                        e_params, e_aux, cams, eval_cfg,
+                        e_rn or e_params.xyz.shape[0])
                 l1v, ps = evaluate_split(eval_metrics, e_params, e_aux, cams,
-                                         bg, active_sh, render_n=e_rn)
+                                         bg, active_sh, render_n=e_rn,
+                                         instance_cap=e_cap,
+                                         tier_layout=e_layout)
                 log_fn(f"[ITER {iteration}] Evaluating {split}: "
                        f"L1 {l1v:.6f} PSNR {ps:.2f}")
                 if tb_writer is not None:
@@ -513,6 +570,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 if split == "test":
                     history["psnr_test"][iteration] = ps
                     history["n_alive"][iteration] = int(num_alive(e_aux))
+                    test_layout, test_cap = e_layout, e_cap
             # per-eval shape diagnostics (VERDICT round-2 weak #1): opacity /
             # scale distributions and floater extents, one fetch each
             al_np = np.asarray(e_aux.alive)
@@ -562,7 +620,9 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 if model_cfg.model_path:
                     _dump_val_image(model_cfg.model_path, iteration,
                                     eval_render, e_params, e_aux, scene, bg,
-                                    active_sh, render_n=e_rn)
+                                    active_sh, render_n=e_rn,
+                                    instance_cap=test_cap,
+                                    tier_layout=test_layout)
 
         if iteration in run_cfg.save_iterations and model_cfg.model_path:
             log_fn(f"[ITER {iteration}] Saving Gaussians")
@@ -627,7 +687,8 @@ def _pad_tree(tree, new_capacity: int):
 
 
 def evaluate_split(eval_metrics, params, aux, cameras, bg, sh_degree,
-                   render_n: int = 0, chunk: int = 5):
+                   render_n: int = 0, chunk: int = 5, instance_cap: int = 0,
+                   tier_layout=None):
     """(mean L1, mean PSNR) over a camera list with few host transfers.
 
     Each view's render+metrics dispatches asynchronously to device scalars;
@@ -643,7 +704,8 @@ def evaluate_split(eval_metrics, params, aux, cameras, bg, sh_degree,
             eval_metrics(params, aux.alive, cam.view(), cam.device_image(),
                          bg, width=cam.image.shape[2],
                          height=cam.image.shape[1],
-                         sh_degree=sh_degree, render_n=render_n))
+                         sh_degree=sh_degree, render_n=render_n,
+                         instance_cap=instance_cap, tier_layout=tier_layout))
         if len(pending) >= chunk:
             host.extend(jax.device_get(pending))
             pending = []
@@ -653,14 +715,15 @@ def evaluate_split(eval_metrics, params, aux, cameras, bg, sh_degree,
 
 
 def evaluate_psnr(eval_render, params, aux, cameras, bg, sh_degree,
-                  render_n: int = 0) -> float:
+                  render_n: int = 0, instance_cap: int = 0) -> float:
     """Image-space PSNR sweep (kept for callers that need rendered frames;
     the train loop uses :func:`evaluate_split`)."""
     vals = []
     for cam in cameras:
         img = eval_render(params, aux.alive, cam.view(), bg,
                           width=cam.image.shape[2], height=cam.image.shape[1],
-                          sh_degree=sh_degree, render_n=render_n)
+                          sh_degree=sh_degree, render_n=render_n,
+                          instance_cap=instance_cap)
         gt = jnp.clip(cam.device_image(), 0.0, 1.0)
         vals.append(psnr(img, gt)[0])
     return float(np.mean(jax.device_get(vals)))
@@ -703,13 +766,21 @@ def _gui_pump(model_cfg, params, aux, raster_cfg, sh_degree, iteration,
                 # viewer toggles plumb into the render exactly like the
                 # reference (train.py:60 overwrites pipe.convert_SHs_python /
                 # pipe.compute_cov3D_python per request)
+                rc = raster_cfg
+                if rc.backend == "stream" or (rc.backend == "auto"
+                                              and jax.default_backend()
+                                              == "tpu"):
+                    # widened eval budgets need the exact instance bound so
+                    # viewer frames can't hit global capacity overflow
+                    rc = rc._replace(instance_cap=eval_instance_cap(
+                        params.xyz.shape[0], rc))
                 out = render_fn(custom_cam.view(), custom_cam.image_width,
                                 custom_cam.image_height, params, bg,
                                 sh_degree=sh_degree, alive=aux.alive,
                                 scale_modifier=scaling_modifier,
                                 convert_shs_python=bool(shs_py),
                                 compute_cov3d_python=bool(cov_py),
-                                raster_config=raster_cfg)
+                                raster_config=rc)
                 net_image_bytes = network_gui.render_to_bytes(out["render"])
             network_gui.send(net_image_bytes, model_cfg.source_path)
             if do_training and (iteration < max_iterations or not keep_alive):
@@ -728,7 +799,8 @@ def _make_progress(first_iter: int, iterations: int):
 
 
 def _dump_val_image(model_path, iteration, eval_render, params, aux, scene,
-                    bg, sh_degree, render_n: int = 0):
+                    bg, sh_degree, render_n: int = 0, instance_cap: int = 0,
+                    tier_layout=None):
     """Side-by-side [render | GT] validation PNG (training_report
     train.py:189-208 dumps comparable strips every ~5000 iterations)."""
     try:
@@ -736,7 +808,8 @@ def _dump_val_image(model_path, iteration, eval_render, params, aux, scene,
         cam = scene.get_test_cameras()[0]
         img = eval_render(params, aux.alive, cam.view(), bg,
                           width=cam.image.shape[2], height=cam.image.shape[1],
-                          sh_degree=sh_degree, render_n=render_n)
+                          sh_degree=sh_degree, render_n=render_n,
+                          instance_cap=instance_cap, tier_layout=tier_layout)
         side = np.concatenate([np.asarray(img),
                                np.clip(np.asarray(cam.image), 0, 1)], axis=2)
         Image.fromarray((side.transpose(1, 2, 0) * 255).astype(np.uint8)).save(

@@ -25,11 +25,32 @@ class TestEvalConfigHelpers:
         fast = RasterConfig(backend="stream", fast_math=True)
         assert loop_mod.eval_config(fast).fast_math is False
 
-    def test_loop_eval_config_preserves_everything_else(self):
+    def test_loop_eval_config_widens_budgets(self):
+        """Round 5: the in-loop eval surface must use the same generous
+        full-footprint budgets as cli/render — evaluating with train-time
+        tight budgets made the loop a different render operator from the
+        offline chain (0.34 dB skew on runs/specadapt)."""
         fast = RasterConfig(backend="stream", fast_math=True, tile_w=32,
                             tile_h=16, tier_budgets=(8,), tier_fracs=(0.5,))
         got = loop_mod.eval_config(fast)
-        assert got == fast._replace(fast_math=False)
+        assert got.fast_math is False
+        assert got.max_tiles_per_gaussian >= 512
+        assert got.tile_w == 32 and got.tile_h == 16
+        assert got.backend == fast.backend
+
+    def test_loop_and_cli_eval_budgets_agree(self):
+        """The two eval surfaces widen identically (shared
+        ops.rasterize.widen_eval_budgets) — a budget divergence would
+        reintroduce the loop-vs-offline skew."""
+        pipe = PipelineConfig(backend="stream", tier_budgets=(4, 12),
+                              tier_fracs=(0.25, 0.1))
+        cli_cfg = eval_raster_config(pipe)
+        loop_cfg = loop_mod.eval_config(
+            loop_mod.raster_config_from_pipe(pipe))
+        assert cli_cfg.tier_budgets == loop_cfg.tier_budgets
+        assert cli_cfg.tier_fracs == loop_cfg.tier_fracs
+        assert (cli_cfg.max_tiles_per_gaussian
+                == loop_cfg.max_tiles_per_gaussian)
 
     def test_cli_eval_raster_config_forces_exact(self):
         pipe = PipelineConfig(backend="stream", fast_math=True)
