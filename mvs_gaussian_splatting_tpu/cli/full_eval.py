@@ -26,6 +26,13 @@ def main(argv=None):
     parser.add_argument("--skip_training", action="store_true")
     parser.add_argument("--skip_rendering", action="store_true")
     parser.add_argument("--skip_metrics", action="store_true")
+    parser.add_argument("--scenes", nargs="*", default=[],
+                        help="explicit COLMAP scene dirs (appended to any "
+                             "dataset-root scenes; images dir 'images')")
+    parser.add_argument("--iterations", type=int, default=30_000,
+                        help="training iterations per scene (the reference "
+                             "recipe is 30K; short runs exercise the full "
+                             "chain on hardware)")
     args = parser.parse_args(argv)
 
     scenes = []
@@ -40,6 +47,8 @@ def main(argv=None):
     if args.deepblending:
         for s in DEEP_BLENDING:
             scenes.append((os.path.join(args.deepblending, s), "images"))
+    for s in args.scenes:
+        scenes.append((s, "images"))
     if not scenes:
         parser.error("no dataset roots given")
 
@@ -54,8 +63,11 @@ def main(argv=None):
         model_paths.append(model_path)
         common = ["-s", source, "-m", model_path, "-i", images, "--eval"]
         if not args.skip_training:
-            train_cli.main(common + ["--test_iterations", "7000", "30000",
-                                     "--save_iterations", "7000", "30000"])
+            it = args.iterations
+            mid = min(7000, max(1, it // 2))
+            train_cli.main(common + ["--iterations", str(it),
+                                     "--test_iterations", str(mid), str(it),
+                                     "--save_iterations", str(mid), str(it)])
         if not args.skip_rendering:
             render_cli.main(["-m", model_path, "--skip_train"])
     if not args.skip_metrics:
