@@ -412,8 +412,11 @@ def main():
         else:
             log("resume: no checkpoint found, starting fresh")
 
-    mile = [1000, 3000, 5000, 7000, 10_000, 15_000, 20_000, 25_000,
-            30_000, 35_000, args.iterations]
+    # Dense late milestones (22-28K): the fork's grow-mode decay window is
+    # ~30K (slurm-36894046.out); a wall-clock-bounded run records each one
+    # in train.log even if killed before the final history.json write.
+    mile = [1000, 3000, 5000, 7000, 10_000, 15_000, 20_000, 22_000,
+            24_000, 25_000, 26_000, 28_000, 30_000, 35_000, args.iterations]
     run_cfg = TrainRunConfig(
         test_iterations=sorted({m for m in mile if m <= args.iterations}),
         save_iterations=[args.iterations],
